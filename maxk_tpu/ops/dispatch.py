@@ -1,0 +1,31 @@
+"""Kernel implementation selection + graceful fallback.
+
+Role of the reference's `--kernel_mode {auto,maxk,cusparse,dgl}` flag and
+its try/except fallback chain (MaxK kernel → cuSPARSE → torch.sparse,
+`maxk_spgemm_function.py:96-130`; `utils/config.py:62-67`). On TPU the
+chain is: Pallas tile kernel → tile-schedule XLA → segment-sum XLA.
+Selection happens at trace time (static), not per-call at runtime —
+everything under jit must be shape/branch static.
+"""
+
+from __future__ import annotations
+
+import enum
+
+import jax
+
+
+class KernelMode(str, enum.Enum):
+    AUTO = "auto"
+    PALLAS = "pallas"  # Pallas edge-tile kernel (TPU)
+    TILES_XLA = "tiles_xla"  # XLA over the same tile schedule
+    SEGSUM = "segsum"  # gather + segment_sum oracle
+
+
+def resolve_mode(mode: str | KernelMode, has_tiles: bool) -> KernelMode:
+    mode = KernelMode(mode)
+    if mode != KernelMode.AUTO:
+        return mode
+    if jax.default_backend() == "tpu" and has_tiles:
+        return KernelMode.PALLAS
+    return KernelMode.SEGSUM

@@ -1,0 +1,167 @@
+"""CSR sparse-adjacency container for TPU graph aggregation.
+
+TPU-native re-design of the reference's raw CSR arrays + degree handling
+(reference: `graph_loader.py:41-100`, `maxk_models_integrated.py:118-165`
+`set_graph_data` which extracts CSR+CSC via `graph.adj_tensors`, builds
+uniform edge values and clamped degrees). Here the graph is a JAX pytree,
+normalization is folded into *edge values* once at setup (the cleanest of
+the reference's normalization experiments — `model_v3.py:104-120` computes
+per-edge `1/in_deg[dst]` weights so the kernel aggregates pre-normalized),
+and the CSC twin is built host-side with scipy.
+
+All arrays are device arrays (jnp); shapes are static under jit.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+
+@struct.dataclass
+class CSRGraph:
+    """Compressed-sparse-row adjacency.
+
+    indptr:  (V+1,) int32 row pointers
+    indices: (E,)   int32 column indices
+    values:  (E,)   float32 edge weights (normalization folded in)
+    """
+
+    indptr: jax.Array
+    indices: jax.Array
+    values: jax.Array
+
+    @property
+    def num_nodes(self) -> int:
+        return self.indptr.shape[0] - 1
+
+    @property
+    def nnz(self) -> int:
+        return self.indices.shape[0]
+
+    def in_degrees(self) -> jax.Array:
+        """Number of nonzeros per row (clamped to >=1 like the reference's
+        `torch.clamp(degrees, min=1)` in `maxk_models_integrated.py:147`)."""
+        deg = self.indptr[1:] - self.indptr[:-1]
+        return jnp.maximum(deg, 1)
+
+    def row_ids(self) -> jax.Array:
+        """(E,) row id of every nonzero — segment ids for segment_sum."""
+        e = self.nnz
+        seg = jnp.zeros((e,), dtype=jnp.int32)
+        # mark row starts (skip row 0 and empty trailing rows), then prefix-max
+        starts = self.indptr[1:-1]
+        seg = seg.at[starts].add(1, mode="drop")
+        return jnp.cumsum(seg)
+
+
+def csr_from_coo(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    num_nodes: int,
+    values: Optional[np.ndarray] = None,
+    dedup: bool = True,
+) -> CSRGraph:
+    """Host-side COO → CSR (sorted, optionally deduplicated).
+
+    Mirrors the reference dataset pipeline semantics (`dataset_gen.py:44-118`:
+    sort + dedupe multi-edges) without DGL.
+    """
+    import scipy.sparse as sp
+
+    if values is None:
+        values = np.ones(rows.shape[0], dtype=np.float32)
+    m = sp.coo_matrix(
+        (values, (rows.astype(np.int64), cols.astype(np.int64))),
+        shape=(num_nodes, num_nodes),
+    ).tocsr()
+    if dedup:
+        m.sum_duplicates()
+        # dedup means "keep one", not "sum": reset weights to 1
+        m.data[:] = 1.0
+    m.sort_indices()
+    return CSRGraph(
+        indptr=jnp.asarray(m.indptr, dtype=jnp.int32),
+        indices=jnp.asarray(m.indices, dtype=jnp.int32),
+        values=jnp.asarray(m.data, dtype=jnp.float32),
+    )
+
+
+def csr_to_scipy(g: CSRGraph):
+    import scipy.sparse as sp
+
+    v = g.num_nodes
+    return sp.csr_matrix(
+        (np.asarray(g.values), np.asarray(g.indices), np.asarray(g.indptr)),
+        shape=(v, v),
+    )
+
+
+def csr_transpose(g: CSRGraph) -> CSRGraph:
+    """Host-side CSR → CSC-of-same-matrix, returned as the CSR of A^T.
+
+    Role of the reference's CSC extraction (`maxk_models_integrated.py:126-137`)
+    feeding the backward SSpMM (`kernels/spmm_maxk_backward.cu`): the backward
+    aggregation is `A^T @ dY`, which we run through the *same* SpMM kernel on
+    the transposed CSR.
+    """
+    m = csr_to_scipy(g).tocsc()
+    return CSRGraph(
+        indptr=jnp.asarray(m.indptr, dtype=jnp.int32),
+        indices=jnp.asarray(m.indices, dtype=jnp.int32),
+        values=jnp.asarray(m.data, dtype=jnp.float32),
+    )
+
+
+def with_norm(g: CSRGraph, mode: str = "right") -> CSRGraph:
+    """Fold degree normalization into edge values.
+
+    Modes follow the reference conv semantics:
+      - "right": mean aggregation, `y_i = (1/indeg_i) * sum_j a_ij x_j`
+        (SAGE mean: post-SpMM `output / in_degrees`,
+        `maxk_spgemm_function.py:85-88`)
+      - "both":  symmetric GCN norm `D^-1/2 A D^-1/2`
+        (`all_model.py:167-176,263-272`)
+      - "left":  `sum_j a_ij x_j / outdeg_j`
+      - "none":  raw sum aggregation (GIN)
+    """
+    if mode == "none":
+        return g
+    indeg = (g.indptr[1:] - g.indptr[:-1]).astype(jnp.float32)
+    indeg = jnp.maximum(indeg, 1.0)
+    # out-degree of column j = occurrences of j in indices
+    outdeg = jnp.zeros((g.num_nodes,), dtype=jnp.float32).at[g.indices].add(
+        1.0, mode="drop"
+    )
+    outdeg = jnp.maximum(outdeg, 1.0)
+    row = g.row_ids()
+    if mode == "right":
+        vals = g.values / indeg[row]
+    elif mode == "left":
+        vals = g.values / outdeg[g.indices]
+    elif mode == "both":
+        vals = g.values / jnp.sqrt(indeg[row]) / jnp.sqrt(outdeg[g.indices])
+    else:
+        raise ValueError(f"unknown norm mode: {mode}")
+    return g.replace(values=vals)
+
+
+def add_self_loops(g: CSRGraph) -> CSRGraph:
+    """Add i→i edges (dedup keeps existing ones) — `dataset_gen.py` semantics."""
+    sp = csr_to_scipy(g).tocoo()
+    v = g.num_nodes
+    rows = np.concatenate([sp.row, np.arange(v)])
+    cols = np.concatenate([sp.col, np.arange(v)])
+    return csr_from_coo(rows, cols, v)
+
+
+def symmetrize(g: CSRGraph) -> CSRGraph:
+    """Make undirected by adding reverse edges (`dataset_gen.py:44-118`)."""
+    sp = csr_to_scipy(g).tocoo()
+    rows = np.concatenate([sp.row, sp.col])
+    cols = np.concatenate([sp.col, sp.row])
+    return csr_from_coo(rows, cols, g.num_nodes)

@@ -1,0 +1,71 @@
+"""Graph operator bundle: everything the aggregation ops need per graph.
+
+The reference threads four things into every layer: CSR arrays, CSC arrays,
+degree vectors, and the warp4 metadata tensor, loaded once at model setup
+(`maxk_models_integrated.py:118-165` `set_graph_data` +
+`MaxKSpmmWrapper.load_metadata`, `maxk_spgemm_function.py:214-267`).
+`Graph` is the TPU equivalent: one pytree built once per dataset, carrying
+the forward CSR, the transpose (CSC-as-CSR of A^T) for the backward
+aggregation, and the edge-tile schedules for the Pallas kernels.
+
+For undirected graphs (all the reference's training graphs after
+`dataset_gen.py` symmetrization) A == A^T and the transpose shares the
+forward arrays — the reference reached the same conclusion in its v4
+autograd (`spgemmfunction_v4:26-44`).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from flax import struct
+
+from maxk_tpu.sparse.csr import CSRGraph, csr_to_scipy, csr_transpose, with_norm
+from maxk_tpu.sparse.meta import EdgeTiles, build_edge_tiles, EDGE_TILE, ROW_BLOCK
+
+
+@struct.dataclass
+class Graph:
+    csr: CSRGraph
+    csc: CSRGraph  # CSR of A^T (== csr for symmetric A with symmetric norm)
+    tiles: Optional[EdgeTiles] = None  # forward schedule
+    tiles_t: Optional[EdgeTiles] = None  # backward (A^T) schedule
+
+    @property
+    def num_nodes(self) -> int:
+        return self.csr.num_nodes
+
+    @property
+    def nnz(self) -> int:
+        return self.csr.nnz
+
+
+def build_graph(
+    csr: CSRGraph,
+    norm: str = "none",
+    build_tiles: bool = True,
+    symmetric: Optional[bool] = None,
+    row_block: int = ROW_BLOCK,
+    edge_tile: int = EDGE_TILE,
+) -> Graph:
+    """Build the operator bundle. `norm` folds degree normalization into edge
+    values (see `maxk_tpu.sparse.csr.with_norm`).
+
+    symmetric=None autodetects A == A^T *after normalization* (true for
+    "none"/"both" on undirected graphs) and shares arrays when possible.
+    """
+    g = with_norm(csr, norm)
+    gt = csr_transpose(g)
+    if symmetric is None:
+        a, b = csr_to_scipy(g), csr_to_scipy(gt)
+        d = abs(a - b)
+        symmetric = d.nnz == 0 or float(d.max()) < 1e-6
+    if symmetric:
+        gt = g
+    tiles = tiles_t = None
+    if build_tiles:
+        tiles = build_edge_tiles(g, row_block, edge_tile)
+        tiles_t = tiles if symmetric else build_edge_tiles(gt, row_block, edge_tile)
+    return Graph(csr=g, csc=gt, tiles=tiles, tiles_t=tiles_t)

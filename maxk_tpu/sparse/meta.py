@@ -1,0 +1,124 @@
+"""Edge-tile scheduling tables — the TPU analog of the reference's warp4 files.
+
+The reference precomputes, per graph, a flat int32 stream
+`[warp_row, warp_loc, warp_len, pad] × num_warps` that splits every CSR row
+into chunks of ≤64 nonzeros for warp-level scheduling
+(`kernels/generate_meta.py:30-48`, consumed by `kernels/spmm_maxk.cu:40-47`).
+
+On TPU the scheduling unit is a *grid step* of a Pallas kernel, not a warp,
+and ragged per-warp chunks become **rectangular edge tiles**:
+
+  - output rows are grouped into row-blocks of R rows (sublane-aligned);
+  - each row-block's edge span is padded to a multiple of T edges and cut
+    into (T,)-tiles; a tile never crosses a row-block boundary, so the
+    output block touched by grid step t is a pure function of the
+    scalar-prefetched `tile_block[t]` — this replaces the GPU's
+    atomicAdd flush (`spmm_maxk.cu:104`) with *sequential revisiting* of
+    the same output block across consecutive grid steps (TPU grid steps
+    run in order on a core; no atomics exist or are needed).
+
+Padding uses column 0 with edge value 0 (gather reads row 0, multiplies by
+zero). Blocks with no edges still get one all-padding tile so every output
+block is written (zeroed) exactly once.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from maxk_tpu.sparse.csr import CSRGraph
+
+# Defaults (tunable per-kernel): R is the f32 sublane tile, T amortizes
+# per-tile overheads while keeping the gather scratch in VMEM.
+ROW_BLOCK = 8
+EDGE_TILE = 256
+
+
+@struct.dataclass
+class EdgeTiles:
+    """Rectangular edge-tile tables for the Pallas SpMM grid.
+
+    block:    (NT,)   int32  row-block id per tile (scalar prefetch)
+    cols:     (NT, T) int32  column index per edge (0 for padding)
+    vals:     (NT, T) f32    edge weight (0 for padding)
+    localrow: (NT, T) int32  row within the block, in [0, R)
+    """
+
+    block: jax.Array
+    cols: jax.Array
+    vals: jax.Array
+    localrow: jax.Array
+    row_block: int = struct.field(pytree_node=False, default=ROW_BLOCK)
+    num_row_blocks: int = struct.field(pytree_node=False, default=0)
+    num_nodes: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def num_tiles(self) -> int:
+        return self.block.shape[0]
+
+    @property
+    def edge_tile(self) -> int:
+        return self.cols.shape[1]
+
+
+def build_edge_tiles(
+    g: CSRGraph,
+    row_block: int = ROW_BLOCK,
+    edge_tile: int = EDGE_TILE,
+) -> EdgeTiles:
+    """Host-side CSR → edge tiles (vectorized numpy; C++ fast path in
+    `maxk_tpu.sparse._native` when built).
+
+    Role of `kernels/generate_meta.py` but emitting rectangular tensors
+    instead of a ragged quadruple stream.
+    """
+    indptr = np.asarray(g.indptr, dtype=np.int64)
+    cols = np.asarray(g.indices, dtype=np.int32)
+    vals = np.asarray(g.values, dtype=np.float32)
+    v = indptr.shape[0] - 1
+    nb = -(-v // row_block)
+
+    # pad indptr so every block has exactly row_block rows
+    if nb * row_block + 1 > indptr.shape[0]:
+        indptr = np.concatenate(
+            [indptr, np.full(nb * row_block + 1 - indptr.shape[0], indptr[-1])]
+        )
+
+    block_start = indptr[0 :: row_block][:nb]
+    block_end = indptr[row_block :: row_block]
+    block_end = np.concatenate([block_end, [indptr[-1]]])[:nb]
+    counts = block_end - block_start  # edges per row-block
+    ntiles = np.maximum(-(-counts // edge_tile), 1).astype(np.int64)
+    nt = int(ntiles.sum())
+
+    tile_block = np.repeat(np.arange(nb, dtype=np.int32), ntiles)
+
+    # destination slot of every edge inside the flat (nt*T) padded stream
+    tile_offset = np.concatenate([[0], np.cumsum(ntiles)])  # tiles before block b
+    e_total = cols.shape[0]
+    edge_block = np.repeat(np.arange(nb), counts)  # block of each edge
+    local_off = np.arange(e_total) - np.repeat(block_start, counts)
+    dest = tile_offset[edge_block] * edge_tile + local_off
+
+    flat_cols = np.zeros(nt * edge_tile, dtype=np.int32)
+    flat_vals = np.zeros(nt * edge_tile, dtype=np.float32)
+    flat_lrow = np.zeros(nt * edge_tile, dtype=np.int32)
+    flat_cols[dest] = cols
+    flat_vals[dest] = vals
+    # row of each edge, relative to its block
+    deg = indptr[1:] - indptr[:-1]
+    edge_row = np.repeat(np.arange(nb * row_block), deg)
+    flat_lrow[dest] = (edge_row - edge_block * row_block).astype(np.int32)
+
+    return EdgeTiles(
+        block=jnp.asarray(tile_block),
+        cols=jnp.asarray(flat_cols.reshape(nt, edge_tile)),
+        vals=jnp.asarray(flat_vals.reshape(nt, edge_tile)),
+        localrow=jnp.asarray(flat_lrow.reshape(nt, edge_tile)),
+        row_block=row_block,
+        num_row_blocks=nb,
+        num_nodes=v,
+    )

@@ -1,0 +1,74 @@
+"""Training configuration — re-design of `utils/config.py` TrainConfig.
+
+Same surface as the reference argparse namespace (`utils/config.py:30-102`):
+dataset/model/epochs/lr/wd/hidden_dim/hidden_layers/nonlinear/maxk/dropout/
+norm/seed/path + kernel flags, with the GPU/warp knobs replaced by their
+TPU counterparts (kernel_mode pallas/xla, tile geometry, compute dtype,
+mesh shape).
+"""
+
+from __future__ import annotations
+
+import argparse
+from dataclasses import dataclass, field, fields
+
+
+@dataclass
+class TrainConfig:
+    dataset: str = "reddit"
+    model: str = "sage"  # sage | gcn | gin | gnn_res
+    epochs: int = 500
+    lr: float = 0.01
+    weight_decay: float = 0.0
+    hidden_dim: int = 256
+    hidden_layers: int = 3
+    nonlinear: str = "maxk"  # maxk | relu
+    maxk: int = 32
+    dropout: float = 0.5
+    norm: bool = False
+    seed: int = 97
+    path: str = "experiment"
+    data_scale: float = 1.0
+    enable_lookahead: bool = False
+    save_model: bool = False
+    evaluate: str = ""  # checkpoint path: eval-only mode
+    checkpoint_every: int = 0  # 0 = only final/best
+    # kernel flags (reference: --use_maxk_kernels/--kernel_mode/…,
+    # utils/config.py:60-81)
+    kernel_mode: str = "auto"  # auto | pallas | tiles_xla | segsum
+    compute_dtype: str = ""  # "" | bfloat16
+    validate_kernels: bool = False
+    profile_kernels: bool = False
+    row_block: int = 8
+    edge_tile: int = 256
+    # distribution (new capability: no multi-device in the reference)
+    mesh_shape: int = 0  # 0 = single device; N = 1-axis mesh of N devices
+    w_lookahead: int = 5
+
+    def as_markdown(self) -> str:
+        lines = ["|name|value|", "|-|-|"]
+        for f in fields(self):
+            lines.append(f"|{f.name}|{getattr(self, f.name)}|")
+        return "\n".join(lines)
+
+    def validate(self) -> None:
+        assert self.model in ("sage", "gcn", "gin", "gnn_res"), self.model
+        assert self.nonlinear in ("maxk", "relu"), self.nonlinear
+        assert 1 <= self.maxk <= self.hidden_dim, (self.maxk, self.hidden_dim)
+        assert self.kernel_mode in ("auto", "pallas", "tiles_xla", "segsum")
+
+
+def parse_args(argv=None) -> TrainConfig:
+    p = argparse.ArgumentParser(description="maxk_tpu GNN training")
+    defaults = TrainConfig()
+    for f in fields(TrainConfig):
+        flag = "--" + f.name
+        default = getattr(defaults, f.name)
+        if f.type == "bool" or isinstance(default, bool):
+            p.add_argument(flag, action="store_true", default=default)
+        else:
+            p.add_argument(flag, type=type(default), default=default)
+    ns = p.parse_args(argv)
+    cfg = TrainConfig(**vars(ns))
+    cfg.validate()
+    return cfg

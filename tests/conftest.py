@@ -1,0 +1,64 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Sharding/multi-chip tests run against `xla_force_host_platform_device_count`
+per the TPU-less test strategy (real-chip kernels are exercised by
+bench.py / tests marked `tpu`, skipped on CPU).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+# persistent compilation cache: repeat test runs skip XLA compiles
+jax.config.update("jax_compilation_cache_dir", "/tmp/maxk_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+@pytest.fixture(scope="session")
+def small_graph():
+    """Deterministic random ~200-node graph (undirected + self loops)."""
+    from maxk_tpu.data.synthetic import rmat_graph
+
+    return rmat_graph(200, 1500, seed=123)
+
+
+@pytest.fixture(scope="session")
+def tiny_data():
+    from maxk_tpu.data.datasets import GraphData
+    from maxk_tpu.data.synthetic import planted_partition_data, rmat_graph
+
+    csr = rmat_graph(200, 1500, seed=7)
+    feats, labels, masks = planted_partition_data(csr, 32, 5, seed=7)
+    return GraphData(
+        name="tiny",
+        csr=csr,
+        features=feats,
+        labels=labels,
+        train_mask=masks[0],
+        val_mask=masks[1],
+        test_mask=masks[2],
+        num_classes=5,
+        multilabel=False,
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "tpu: requires a real TPU device")
+
+
+def pytest_collection_modifyitems(config, items):
+    if jax.default_backend() == "tpu":
+        return
+    skip = pytest.mark.skip(reason="requires TPU backend")
+    for item in items:
+        if "tpu" in item.keywords:
+            item.add_marker(skip)

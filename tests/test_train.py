@@ -1,0 +1,137 @@
+"""End-to-end training tests: loss decreases, accuracy learns, metrics,
+optimizer, checkpointing."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from maxk_tpu.train.config import TrainConfig, parse_args
+from maxk_tpu.train.loop import evaluate, setup, train
+from maxk_tpu.train.metrics import compute_micro_f1, rocauc
+from maxk_tpu.train.optim import build_optimizer, lookahead
+
+
+def _cfg(**kw):
+    base = dict(
+        dataset="flickr",
+        model="sage",
+        epochs=30,
+        lr=0.01,
+        hidden_dim=32,
+        hidden_layers=2,
+        maxk=8,
+        dropout=0.0,
+        kernel_mode="segsum",
+        seed=97,
+    )
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+def test_training_learns(tiny_data):
+    cfg = _cfg()
+    state = train(cfg, tiny_data)
+    # planted-partition labels are learnable: well above 1/5 chance
+    assert state.best_val > 0.5, state.best_val
+    assert state.best_test > 0.5
+
+
+def test_relu_baseline_trains(tiny_data):
+    state = train(_cfg(nonlinear="relu", epochs=20), tiny_data)
+    assert state.best_val > 0.5
+
+
+@pytest.mark.parametrize("model", ["gcn", "gin"])
+def test_other_models_train(tiny_data, model):
+    state = train(_cfg(model=model, epochs=20, lr=0.02), tiny_data)
+    assert state.best_val > 0.4, (model, state.best_val)
+
+
+def test_lookahead_optimizer_trains(tiny_data):
+    state = train(_cfg(enable_lookahead=True, epochs=20), tiny_data)
+    assert state.best_val > 0.4
+
+
+def test_micro_f1_single_and_multilabel():
+    logits = jnp.asarray([[2.0, -1.0], [-1.0, 2.0], [2.0, -1.0]])
+    labels = jnp.asarray([0, 1, 1])
+    acc = compute_micro_f1(logits, labels)
+    np.testing.assert_allclose(float(acc), 2 / 3, rtol=1e-5)
+    ml_labels = jnp.asarray([[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]])
+    f1 = compute_micro_f1(logits, ml_labels)
+    # preds: [1,0],[0,1],[1,0]: tp=3, fp=0, fn=1 → f1 = 6/7
+    np.testing.assert_allclose(float(f1), 6 / 7, rtol=1e-5)
+
+
+def test_rocauc_perfect_and_random():
+    labels = jnp.asarray([[1.0], [1.0], [0.0], [0.0]])
+    perfect = jnp.asarray([[4.0], [3.0], [2.0], [1.0]])
+    np.testing.assert_allclose(float(rocauc(perfect, labels)), 1.0, atol=1e-6)
+    inverted = -perfect
+    np.testing.assert_allclose(float(rocauc(inverted, labels)), 0.0, atol=1e-6)
+
+
+def test_rocauc_masked():
+    labels = jnp.asarray([[1.0], [0.0], [1.0], [0.0]])
+    # mask hides the last two (which would make AUC 0); first two are perfect
+    scores = jnp.asarray([[2.0], [1.0], [-5.0], [5.0]])
+    mask = jnp.asarray([True, True, False, False])
+    np.testing.assert_allclose(float(rocauc(scores, labels, mask)), 1.0, atol=1e-6)
+
+
+def test_lookahead_transform_math():
+    import optax
+
+    tx = lookahead(k=2, alpha=0.5)
+    params = {"w": jnp.asarray(1.0)}
+    state = tx.init(params)
+    # step 1: no sync
+    updates, state = tx.update({"w": jnp.asarray(0.1)}, state, params)
+    params = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(float(params["w"]), 1.1, rtol=1e-6)
+    # step 2: sync → slow = 1.0 + 0.5*(1.2-1.0) = 1.1; fast = slow
+    updates, state = tx.update({"w": jnp.asarray(0.1)}, state, params)
+    params = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(float(params["w"]), 1.1, rtol=1e-6)
+    np.testing.assert_allclose(float(state.slow["w"]), 1.1, rtol=1e-6)
+
+
+def test_checkpoint_roundtrip(tmp_path, tiny_data):
+    import jax
+
+    from maxk_tpu.train.checkpoint import (
+        latest_checkpoint,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    cfg = _cfg(epochs=2)
+    state = setup(cfg, tiny_data)
+    payload = {"params": state.variables["params"], "epoch": 2}
+    save_checkpoint(str(tmp_path), payload, step=2, is_best=True)
+    path = latest_checkpoint(str(tmp_path))
+    assert path and path.endswith("ckpt_2")
+    template = jax.tree.map(np.zeros_like, payload)
+    restored = restore_checkpoint(path, template)
+    np.testing.assert_allclose(
+        np.asarray(restored["params"]["lin_in"]["kernel"]),
+        np.asarray(payload["params"]["lin_in"]["kernel"]),
+    )
+
+
+def test_parse_args_roundtrip():
+    cfg = parse_args(
+        ["--dataset", "yelp", "--model", "gcn", "--maxk", "16", "--norm"]
+    )
+    assert cfg.dataset == "yelp"
+    assert cfg.model == "gcn"
+    assert cfg.maxk == 16
+    assert cfg.norm is True
+
+
+def test_evaluate_entrypoint(tiny_data):
+    cfg = _cfg(epochs=1)
+    state = setup(cfg, tiny_data)
+    tr, va, te = evaluate(state, tiny_data)
+    for m in (tr, va, te):
+        assert 0.0 <= m <= 1.0
