@@ -48,8 +48,27 @@ def _zero_cotangent(tree):
     return jax.tree.map(z, tree)
 
 
+def _sharded_spmm(graph, x: jax.Array, transpose: bool) -> jax.Array:
+    """Row-partitioned SpMM inside shard_map (see `parallel.shard`).
+
+    forward: all_gather x rows → local row-block aggregation → local rows
+    backward: local A_i^T partials → psum_scatter (reduce + re-partition)
+    """
+    if transpose:
+        z = spmm_segsum(graph.local_bwd(), x)  # (Vp, D) partial sums
+        return jax.lax.psum_scatter(
+            z, graph.axis, scatter_dimension=0, tiled=True
+        )
+    xg = jax.lax.all_gather(x, graph.axis, axis=0, tiled=True)  # (Vp, D)
+    return spmm_segsum(graph.local_fwd(), xg)
+
+
 def _spmm_impl(graph: Graph, x: jax.Array, mode: KernelMode, transpose: bool):
     """Dispatch one SpMM (forward A or backward A^T) to an implementation."""
+    from maxk_tpu.parallel.shard import ShardedGraph
+
+    if isinstance(graph, ShardedGraph):
+        return _sharded_spmm(graph, x, transpose)
     csr = graph.csc if transpose else graph.csr
     tiles = graph.tiles_t if transpose else graph.tiles
     mode = resolve_mode(mode, tiles is not None)
@@ -96,6 +115,19 @@ def spmm(graph: Graph, x: jax.Array, mode: str = "auto") -> jax.Array:
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def _maxk_spgemm(dim, mode, compute_dtype, graph, vals, sel):
+    from maxk_tpu.parallel.shard import ShardedGraph
+
+    if isinstance(graph, ShardedGraph):
+        # gather COMPRESSED features over ICI (V·k ≪ V·dim), then densify
+        # and aggregate the local row block (x is already full — no second
+        # gather inside the spmm)
+        out_dtype = vals.dtype
+        vals = jax.lax.all_gather(vals, graph.axis, axis=0, tiled=True)
+        sel = jax.lax.all_gather(sel, graph.axis, axis=0, tiled=True)
+        x = cbsr_densify(CBSR(values=vals, selector=sel), dim)
+        if compute_dtype is not None:
+            x = x.astype(compute_dtype)
+        return spmm_segsum(graph.local_fwd(), x).astype(out_dtype)
     x = cbsr_densify(CBSR(values=vals, selector=sel), dim)
     if compute_dtype is not None:
         x = x.astype(compute_dtype)

@@ -7,7 +7,11 @@ bench.py / tests marked `tpu`, skipped on CPU).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU with 8 virtual devices (overrides the environment's TPU
+# platform pin; kernels are validated on the real chip by bench.py and
+# tests explicitly marked `tpu`, run with MAXK_TPU_TEST_TPU=1).
+# jax may already be imported by a sitecustomize hook with the TPU
+# platform pinned, so update jax.config rather than the environment.
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +21,10 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+if not os.environ.get("MAXK_TPU_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    jax.config.update("jax_platforms", "cpu")
 
 # persistent compilation cache: repeat test runs skip XLA compiles
 jax.config.update("jax_compilation_cache_dir", "/tmp/maxk_tpu_jax_cache")

@@ -1,0 +1,141 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh.
+
+The correctness bar: sharded execution must produce the SAME math as the
+single-device path (forward values, gradients, training trajectory)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from maxk_tpu.parallel.mesh import GRAPH_AXIS, make_mesh
+from maxk_tpu.parallel.shard import build_sharded_graph, shard_rows
+from maxk_tpu.parallel.train import (
+    make_sharded_eval_step,
+    make_sharded_train_step,
+    sharded_setup,
+)
+from maxk_tpu.ops.spgemm import maxk_spgemm, spmm
+from maxk_tpu.ops.spmm_xla import spmm_segsum
+from maxk_tpu.sparse.cbsr import cbsr_densify, maxk_cbsr
+from maxk_tpu.sparse.csr import with_norm
+from maxk_tpu.sparse.graph import build_graph
+from maxk_tpu.train.config import TrainConfig
+
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+D = 32
+N_DEV = 8
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < N_DEV, reason="needs 8 (virtual) devices"
+)
+
+
+def _sharded_apply(mesh, sgraph, fn, *arrays):
+    """Run fn(sgraph, *local arrays) under shard_map with row-sharded IO."""
+    shard = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(GRAPH_AXIS),) + (P(GRAPH_AXIS),) * len(arrays),
+        out_specs=P(GRAPH_AXIS),
+        check_vma=False,
+    )
+    return shard(sgraph, *arrays)
+
+
+def test_sharded_spmm_matches_single(small_graph):
+    mesh = make_mesh(N_DEV)
+    sgraph = build_sharded_graph(small_graph, N_DEV, norm="right")
+    g1 = build_graph(small_graph, norm="right", build_tiles=False)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((small_graph.num_nodes, D)).astype(np.float32)
+    xp = jnp.asarray(shard_rows(x, N_DEV))
+
+    y_sharded = _sharded_apply(
+        mesh, sgraph, lambda g, xx: spmm(g, xx, mode="segsum"), xp
+    )
+    y_single = spmm(g1, jnp.asarray(x), mode="segsum")
+    np.testing.assert_allclose(
+        np.asarray(y_sharded)[: small_graph.num_nodes],
+        np.asarray(y_single),
+        rtol=1e-4,
+        atol=1e-4,
+    )
+
+
+def test_sharded_maxk_spgemm_fwd_bwd(small_graph):
+    mesh = make_mesh(N_DEV)
+    sgraph = build_sharded_graph(small_graph, N_DEV, norm="right")
+    g1 = build_graph(small_graph, norm="right", build_tiles=False)
+    rng = np.random.default_rng(1)
+    v = small_graph.num_nodes
+    x = rng.standard_normal((v, D)).astype(np.float32)
+    ct = rng.standard_normal((v, D)).astype(np.float32)
+    xp = jnp.asarray(shard_rows(x, N_DEV))
+    ctp = jnp.asarray(shard_rows(ct, N_DEV))
+    k = 8
+
+    def local_val_and_grad(g, xx, cc):
+        def f(xx):
+            cbsr = maxk_cbsr(xx, k)
+            y = maxk_spgemm(g, cbsr, dim=D, mode="segsum")
+            # LOCAL partial of the global dot (no psum inside the grad
+            # path — see _local_masked_loss): cross-device cotangents
+            # arrive via the op's internal psum_scatter
+            return jnp.vdot(y, cc)
+
+        return jax.grad(f)(xx)
+
+    gx_sharded = _sharded_apply(mesh, sgraph, local_val_and_grad, xp, ctp)
+
+    def f_single(xx):
+        cbsr = maxk_cbsr(xx, k)
+        return jnp.vdot(maxk_spgemm(g1, cbsr, dim=D, mode="segsum"), jnp.asarray(ct))
+
+    gx_single = jax.grad(f_single)(jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(gx_sharded)[:v], np.asarray(gx_single), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_sharded_training_learns(tiny_data):
+    mesh = make_mesh(N_DEV)
+    cfg = TrainConfig(
+        dataset="tiny",
+        model="sage",
+        epochs=25,
+        lr=0.01,
+        hidden_dim=32,
+        hidden_layers=2,
+        maxk=8,
+        dropout=0.0,
+        kernel_mode="segsum",
+    )
+    model, variables, opt_state, sgraph, arrays = sharded_setup(
+        cfg, tiny_data, mesh
+    )
+    tx = _tx(cfg)
+    train_step = make_sharded_train_step(model, tx, False, mesh)
+    eval_step = make_sharded_eval_step(model, False, mesh)
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    for epoch in range(cfg.epochs):
+        rng, srng = jax.random.split(rng)
+        variables, opt_state, loss, _ = train_step(
+            variables, opt_state, srng, sgraph,
+            arrays["feats"], arrays["labels"], arrays["train"],
+        )
+        losses.append(float(loss))
+    tr, va, te = eval_step(
+        variables, sgraph, arrays["feats"], arrays["labels"],
+        (arrays["train"], arrays["val"], arrays["test"]),
+    )
+    assert losses[-1] < losses[0] * 0.7, losses[:3] + losses[-3:]
+    assert float(va) > 0.5, float(va)
+
+
+def _tx(cfg):
+    from maxk_tpu.train.optim import build_optimizer
+
+    return build_optimizer(cfg.lr, cfg.weight_decay, cfg.enable_lookahead)
