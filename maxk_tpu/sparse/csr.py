@@ -131,14 +131,19 @@ def with_norm(g: CSRGraph, mode: str = "right") -> CSRGraph:
     """
     if mode == "none":
         return g
-    indeg = (g.indptr[1:] - g.indptr[:-1]).astype(jnp.float32)
+    row = g.row_ids()
+    # count only REAL edges: weight-0 entries (soft-dedup duplicates,
+    # padding) must not inflate degrees
+    live = (g.values != 0).astype(jnp.float32)
+    indeg = jax.ops.segment_sum(
+        live, row, num_segments=g.num_nodes, indices_are_sorted=True
+    )
     indeg = jnp.maximum(indeg, 1.0)
     # out-degree of column j = occurrences of j in indices
     outdeg = jnp.zeros((g.num_nodes,), dtype=jnp.float32).at[g.indices].add(
-        1.0, mode="drop"
+        live, mode="drop"
     )
     outdeg = jnp.maximum(outdeg, 1.0)
-    row = g.row_ids()
     if mode == "right":
         vals = g.values / indeg[row]
     elif mode == "left":

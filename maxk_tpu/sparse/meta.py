@@ -81,6 +81,21 @@ def build_edge_tiles(
     v = indptr.shape[0] - 1
     nb = -(-v // row_block)
 
+    from maxk_tpu.sparse import _native
+
+    native = _native.edge_tiles_native(indptr, cols, vals, row_block, edge_tile)
+    if native is not None:
+        tb, tc, tv, tl = native
+        return EdgeTiles(
+            block=jnp.asarray(tb),
+            cols=jnp.asarray(tc),
+            vals=jnp.asarray(tv),
+            localrow=jnp.asarray(tl),
+            row_block=row_block,
+            num_row_blocks=nb,
+            num_nodes=v,
+        )
+
     # pad indptr so every block has exactly row_block rows
     if nb * row_block + 1 > indptr.shape[0]:
         indptr = np.concatenate(
@@ -118,6 +133,73 @@ def build_edge_tiles(
         cols=jnp.asarray(flat_cols.reshape(nt, edge_tile)),
         vals=jnp.asarray(flat_vals.reshape(nt, edge_tile)),
         localrow=jnp.asarray(flat_lrow.reshape(nt, edge_tile)),
+        row_block=row_block,
+        num_row_blocks=nb,
+        num_nodes=v,
+    )
+
+
+def build_edge_tiles_device(
+    g: CSRGraph,
+    row_block: int = ROW_BLOCK,
+    edge_tile: int = EDGE_TILE,
+) -> EdgeTiles:
+    """On-device tile construction (pure jnp, jittable body, static shapes).
+
+    The BASELINE north-star asks for the generate_meta analog "built
+    on-device". Shapes: the tile count is bounded statically by
+    ceil(E/T) + NB (each block adds ≤1 padding tile); surplus tail tiles
+    alias the LAST block with zero values — they are ordered after its
+    real tiles, so they only re-accumulate zero (never re-zero an output).
+
+    Scatter-free: each destination slot *gathers* its edge (slot→edge
+    index arithmetic), since TPU scatter is serial but gather is not.
+    """
+    v = g.num_nodes
+    e = g.nnz
+    nb = -(-v // row_block)
+    nt = -(-e // edge_tile) + nb  # static upper bound
+
+    @jax.jit
+    def build(indptr, cols, vals):
+        ip = indptr.astype(jnp.int32)
+        # pad row pointers to block multiple
+        full = jnp.full((nb * row_block + 1 - ip.shape[0],), e, jnp.int32)
+        ipp = jnp.concatenate([ip, full])
+        bstart = ipp[0 :: row_block][:nb]
+        bend = jnp.concatenate([ipp[row_block :: row_block], ipp[-1:]])[:nb]
+        counts = bend - bstart
+        ntiles = jnp.maximum(-(-counts // edge_tile), 1)
+        toffset = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(ntiles).astype(jnp.int32)]
+        )
+        # tile -> block (pad tail repeats the last block)
+        tile_block = jnp.repeat(
+            jnp.arange(nb, dtype=jnp.int32), ntiles, total_repeat_length=nt
+        )
+        # slot -> source edge (gather formulation)
+        t_ix = jnp.arange(nt, dtype=jnp.int32)[:, None]
+        off = jnp.arange(edge_tile, dtype=jnp.int32)[None, :]
+        blk = tile_block[:, None]
+        within = (t_ix - toffset[blk]) * edge_tile + off
+        src = bstart[blk] + within
+        valid = within < counts[blk]
+        srcc = jnp.clip(src, 0, e - 1)
+        tcols = jnp.where(valid, cols[srcc], 0).astype(jnp.int32)
+        tvals = jnp.where(valid, vals[srcc], 0.0).astype(jnp.float32)
+        # edge -> row: row of edge e is searchsorted(indptr, e, 'right')-1
+        erow = (
+            jnp.searchsorted(ipp, srcc, side="right").astype(jnp.int32) - 1
+        )
+        tlrow = jnp.where(valid, erow - blk * row_block, 0).astype(jnp.int32)
+        return tile_block, tcols, tvals, tlrow
+
+    tb, tc, tv, tl = build(g.indptr, g.indices, g.values)
+    return EdgeTiles(
+        block=tb,
+        cols=tc,
+        vals=tv,
+        localrow=tl,
         row_block=row_block,
         num_row_blocks=nb,
         num_nodes=v,

@@ -123,3 +123,53 @@ def test_edge_tiles_reconstruct_matrix(small_graph):
     np.testing.assert_allclose(
         dense[:v], csr_to_scipy(small_graph).toarray(), rtol=1e-6
     )
+
+
+def test_device_tiles_spmm_matches(small_graph):
+    """On-device tile construction agrees with the host path via SpMM."""
+    import jax.numpy as jnp
+
+    from maxk_tpu.ops.spmm_xla import spmm_tiles_xla, spmm_segsum
+    from maxk_tpu.sparse.meta import build_edge_tiles_device
+
+    tiles = build_edge_tiles_device(small_graph, 8, 64)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((small_graph.num_nodes, 32)), jnp.float32)
+    y1 = spmm_tiles_xla(tiles, x)
+    y2 = spmm_segsum(small_graph, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-4, atol=1e-4)
+
+
+def test_device_rmat_valid_csr():
+    from maxk_tpu.data.device_gen import rmat_graph_device
+    from maxk_tpu.sparse.csr import with_norm
+
+    g = rmat_graph_device(300, 2000, seed=3)
+    indptr = np.asarray(g.indptr)
+    cols = np.asarray(g.indices)
+    vals = np.asarray(g.values)
+    assert indptr[0] == 0 and indptr[-1] == cols.shape[0]
+    assert (np.diff(indptr) >= 0).all()
+    # within-row columns sorted
+    for r in range(0, 300, 37):
+        c = cols[indptr[r] : indptr[r + 1]]
+        assert (np.diff(c) >= 0).all()
+    # live edges form a symmetric matrix with a full diagonal
+    import scipy.sparse as sp
+
+    m = sp.csr_matrix((vals, cols, indptr), shape=(300, 300))
+    assert (abs(m - m.T)).nnz == 0
+    assert np.all(m.toarray().diagonal() == 1)
+    # soft-dedup: no duplicate live entries — scipy sum_duplicates view
+    live = vals != 0
+    pairs = set()
+    rows = np.repeat(np.arange(300), np.diff(indptr))
+    for r, c in zip(rows[live], cols[live]):
+        assert (r, c) not in pairs
+        pairs.add((r, c))
+    # degree-normalization counts only live edges
+    gn = with_norm(g, "right")
+    sums = sp.csr_matrix(
+        (np.asarray(gn.values), cols, indptr), shape=(300, 300)
+    ).sum(1).A1
+    np.testing.assert_allclose(sums, 1.0, rtol=1e-5)
