@@ -2,70 +2,35 @@
 """Kernel benchmark — the `kernels/main.cu` protocol on TPU.
 
 Protocol (mirrors the reference): reddit-scale graph, dim_origin=256,
-random CBSR features at k, 4 warmup + 4 timed runs per kernel
-(`kernels/spmm_base.h:34-63`), dense baseline timed alongside (the
-cuSPARSE role, `kernels/spmm_cusparse.cu`).
+random CBSR features at k (seeded, `main.cu:75`), 4 warmup + timed runs
+per kernel (`kernels/spmm_base.h:34-63`), dense baseline timed alongside
+(the cuSPARSE role, `kernels/spmm_cusparse.cu`).
 
-Headline metric: forward effective nnz/s = E / t_fwd at k=32 (the
-BASELINE.md derivation `nnz/s = E · k / t_fwd` counts CBSR
-multiply-accumulates; we report edge-rate E/t and the cbsr rate E·k/t in
-detail). vs_baseline compares against the A100 spmm_maxk estimate derived
-in BASELINE.md: cuSPARSE CSR-SpMM f32 D=256 on A100 is ~1KB/edge at
-~1.6 TB/s effective ≈ 1.55 Gnnz/s, × the published 2.55× speedup @k=32
-(`README.md:136`) ≈ 4.0 Gnnz/s.
+All inputs are generated ON DEVICE (`maxk_tpu.data.device_gen`) — the
+remote-TPU tunnel in this environment moves host↔device data at ~MB/s,
+so uploads are avoided entirely. Timing uses queued-calls + scalar-fetch
+sync (see `maxk_tpu.bench.micro` methodology notes).
+
+Headline metric: forward effective nnz/s = E / t_fwd at k=32.
+vs_baseline compares against the A100 spmm_maxk estimate derived in
+BASELINE.md: cuSPARSE CSR-SpMM f32 D=256 on A100 ≈ 1KB/edge at ~1.6 TB/s
+≈ 1.55 Gnnz/s, × the published 2.55× speedup @k=32 (`README.md:136`)
+≈ 4.0 Gnnz/s.
 
 Prints ONE JSON line to stdout; everything else goes to stderr.
 """
 
 import argparse
 import json
-import os
 import sys
-import time
 
 import numpy as np
 
 A100_MAXK_K32_NNZ_S = 4.0e9  # derived estimate, see module docstring
 
-CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
-
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
-
-
-def cached_graph(name: str, scale: float, seed: int = 123):
-    from maxk_tpu.data.datasets import DATASETS
-    from maxk_tpu.data.io import load_graph_binary, save_graph_binary
-    from maxk_tpu.data.synthetic import rmat_graph
-
-    spec = DATASETS[name]
-    v = max(int(spec.num_nodes * scale), 64)
-    e = max(int(spec.num_edges * scale), 256)
-    os.makedirs(CACHE, exist_ok=True)
-    prefix = os.path.join(CACHE, f"{name}_s{scale}_seed{seed}")
-    if os.path.exists(prefix + ".indptr"):
-        return load_graph_binary(prefix)
-    t0 = time.time()
-    g = rmat_graph(v, e, seed=seed)
-    log(f"generated {name} x{scale}: V={g.num_nodes} E={g.nnz} "
-        f"({time.time()-t0:.1f}s)")
-    save_graph_binary(prefix, np.asarray(g.indptr), np.asarray(g.indices))
-    return g
-
-
-def time_fn(fn, *args, warmup=4, iters=4):
-    import jax
-
-    out = None
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
 
 
 def main():
@@ -80,10 +45,17 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from maxk_tpu.ops.dispatch import KernelMode, resolve_mode
+    jax.config.update("jax_compilation_cache_dir", "/root/.maxk_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from maxk_tpu.bench.micro import roundtrip_latency, timeit
+    from maxk_tpu.data.datasets import DATASETS
+    from maxk_tpu.data.device_gen import rmat_graph_device
     from maxk_tpu.ops.spgemm import maxk_spgemm, spmm
     from maxk_tpu.sparse.cbsr import CBSR, cbsr_densify
-    from maxk_tpu.sparse.graph import build_graph
+    from maxk_tpu.sparse.csr import with_norm
+    from maxk_tpu.sparse.graph import Graph
+    from maxk_tpu.sparse.meta import build_edge_tiles_device
 
     backend = jax.default_backend()
     has_pallas = False
@@ -98,42 +70,57 @@ def main():
     if scale == 0.0:
         # full scale only when the Pallas path exists; XLA fallbacks OOM
         # at E~115M with (E, D) intermediates
-        scale = 1.0 if has_pallas else 0.05
+        scale = 1.0 if has_pallas else 0.02
     mode = args.mode
     if mode == "auto":
         mode = "pallas" if has_pallas else "segsum"
-    log(f"backend={backend} mode={mode} scale={scale}")
+    log(f"backend={backend} mode={mode} scale={scale} "
+        f"latency={roundtrip_latency()*1e3:.0f}ms")
 
-    g = cached_graph(args.graph, scale)
-    e_real = g.nnz
-    graph = build_graph(
-        g, norm="right", build_tiles=(mode in ("pallas", "tiles_xla"))
-    )
+    spec = DATASETS[args.graph]
+    v = max(int(spec.num_nodes * scale), 64)
+    e_target = max(int(spec.num_edges * scale), 256)
+    g = rmat_graph_device(v, e_target, seed=123)
+    g = with_norm(g, "right")
+    e_real = int(np.asarray(jnp.sum(g.values != 0)))
+    log(f"graph {args.graph} x{scale}: V={v} E={g.nnz} (live {e_real})")
 
-    rng = np.random.default_rng(123)  # reference seed (main.cu:75)
-    v, k, dim = g.num_nodes, args.k, args.dim
-    vals = jnp.asarray(rng.standard_normal((v, k)), jnp.float32)
-    # random k-of-dim selectors (reference builds random CBSR the same
-    # way, main.cu:120-146); sampling without replacement per row via
-    # argsort of random keys
-    keys = rng.random((v, dim)).argsort(axis=1)[:, :k].astype(np.int32)
-    sel = jnp.asarray(keys)
+    tiles = tiles_t = None
+    if mode in ("pallas", "tiles_xla"):
+        tiles = build_edge_tiles_device(g)
+        tiles_t = tiles  # symmetric graph with right-norm is NOT symmetric
+        # in values, but benchmark forward only uses `tiles`; backward
+        # timing below uses the same schedule shape (structure symmetric)
+    graph = Graph(csr=g, csc=g, tiles=tiles, tiles_t=tiles_t)
+
+    v_pad = v
+    k, dim = args.k, args.dim
+    key = jax.random.PRNGKey(123)
+    vals = jax.jit(lambda: jax.random.normal(key, (v_pad, k), jnp.float32))()
+    sel = jax.jit(
+        lambda: jax.random.randint(
+            jax.random.fold_in(key, 1), (v_pad, k), 0, dim, jnp.int32
+        )
+    )()
     cbsr = CBSR(values=vals, selector=sel)
-    x_dense = cbsr_densify(cbsr, dim)
+    x_dense = jax.jit(lambda c: cbsr_densify(c, dim))(cbsr)
 
     fwd = jax.jit(
         lambda c: maxk_spgemm(graph, c, dim=dim, mode=mode,
                               compute_dtype=jnp.bfloat16)
     )
-    t_fwd = time_fn(fwd, cbsr)
+    t_fwd = timeit(fwd, cbsr, iters=8)
     log(f"maxk fwd k={k}: {t_fwd*1e3:.3f} ms -> {e_real/t_fwd/1e9:.3f} Gnnz/s")
 
     baseline = jax.jit(lambda x: spmm(graph, x, mode=mode))
-    t_base = time_fn(baseline, x_dense)
-    log(f"dense baseline: {t_base*1e3:.3f} ms")
+    t_base = timeit(baseline, x_dense, iters=8)
+    log(f"dense f32 baseline: {t_base*1e3:.3f} ms "
+        f"({e_real/t_base/1e9:.3f} Gnnz/s)")
 
     # backward (SSpMM role): vjp at a random cotangent
-    ct = jnp.asarray(rng.standard_normal((v, dim)), jnp.float32)
+    ct = jax.jit(
+        lambda: jax.random.normal(jax.random.fold_in(key, 2), (v_pad, dim))
+    )()
     grad_fn = jax.jit(
         jax.grad(
             lambda va: jnp.vdot(
@@ -143,7 +130,7 @@ def main():
             )
         )
     )
-    t_bwd = time_fn(grad_fn, vals)
+    t_bwd = timeit(grad_fn, vals, iters=8)
     log(f"maxk fwd+bwd: {t_bwd*1e3:.3f} ms")
 
     nnz_s = e_real / t_fwd

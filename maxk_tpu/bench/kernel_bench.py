@@ -1,0 +1,198 @@
+"""Kernel benchmark suite — re-design of the reference benchmark stack:
+
+  - `kernels/main.cu:50-222` (C++ driver: per-graph, per-k timing with
+    the `n graph dim_origin dim_k kernel time(ms)` print protocol)
+  - `main_runner_direct.py` / `direct_kernel_interface.py` (Python
+    harness with validation-against-cuSPARSE and error forensics)
+
+Usage:
+  python -m maxk_tpu.bench.kernel_bench                 # default suite
+  python -m maxk_tpu.bench.kernel_bench --graphs reddit flickr --k 16 32
+  python -m maxk_tpu.bench.kernel_bench --validate      # oracle check
+  python -m maxk_tpu.bench.kernel_bench --dir DIR       # real binaries
+
+The suite runs every graph × k ∈ {16,32,64} (reference protocol), timing
+the maxk forward, the fwd+bwd VJP, and the dense baseline (cuSPARSE
+role), and emits both the reference-format text lines and a JSON report.
+Graphs come from real `.indptr/.indices` binaries when `--dir` is given
+(`kernels/graphs` drop-in), else on-device synthetic at dataset scale.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+# default synthetic suite: the 5 training graphs at benchmark scale
+DEFAULT_GRAPHS = ["flickr", "yelp", "reddit", "ogbn-proteins", "ogbn-products"]
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def load_suite(args):
+    import jax.numpy as jnp
+
+    from maxk_tpu.data.datasets import DATASETS
+    from maxk_tpu.data.device_gen import rmat_graph_device
+    from maxk_tpu.data.io import list_graph_binaries, load_graph_binary
+
+    if args.dir:
+        for prefix in list_graph_binaries(args.dir):
+            name = prefix.rsplit("/", 1)[-1]
+            yield name, load_graph_binary(prefix)
+        return
+    for name in args.graphs:
+        spec = DATASETS[name]
+        v = max(int(spec.num_nodes * args.scale), 64)
+        e = max(int(spec.num_edges * args.scale), 256)
+        yield name, rmat_graph_device(v, e, seed=123)
+
+
+def validate_graph(graph, cbsr, dim, mode, tol=1e-3):
+    """Kernel output vs the segment-sum oracle — the role of
+    `validate_against_cusparse` (`direct_kernel_interface.py:221-372`),
+    including its max-error forensics."""
+    import jax.numpy as jnp
+
+    from maxk_tpu.ops.spgemm import maxk_spgemm
+    from maxk_tpu.ops.spmm_xla import spmm_segsum
+    from maxk_tpu.sparse.cbsr import cbsr_densify
+
+    y = np.asarray(maxk_spgemm(graph, cbsr, dim=dim, mode=mode))
+    ref = np.asarray(
+        spmm_segsum(graph.csr, cbsr_densify(cbsr, dim))
+    )
+    err = np.abs(y - ref)
+    max_err = float(err.max())
+    mean_err = float(err.mean())
+    ok = mean_err < tol
+    detail = {
+        "max_err": max_err,
+        "mean_err": mean_err,
+        "argmax": [int(i) for i in np.unravel_index(err.argmax(), err.shape)],
+        "n_gt_0.1": int((err > 0.1).sum()),
+        "n_gt_0.5": int((err > 0.5).sum()),
+    }
+    return ok, detail
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--graphs", nargs="+", default=DEFAULT_GRAPHS)
+    p.add_argument("--dir", default="", help="directory of .indptr binaries")
+    p.add_argument("--k", nargs="+", type=int, default=[16, 32, 64])
+    p.add_argument("--dim", type=int, default=256)
+    p.add_argument("--scale", type=float, default=0.02)
+    p.add_argument("--mode", default="auto")
+    p.add_argument("--validate", action="store_true")
+    p.add_argument("--json_out", default="")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.maxk_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from maxk_tpu.bench.micro import timeit
+    from maxk_tpu.ops.spgemm import maxk_spgemm, spmm
+    from maxk_tpu.sparse.cbsr import CBSR, cbsr_densify
+    from maxk_tpu.sparse.csr import with_norm
+    from maxk_tpu.sparse.graph import Graph
+    from maxk_tpu.sparse.meta import build_edge_tiles_device
+
+    mode = args.mode
+    if mode == "auto":
+        try:
+            from maxk_tpu.ops.spmm_pallas import spmm_pallas  # noqa: F401
+
+            mode = "pallas" if jax.default_backend() == "tpu" else "segsum"
+        except ImportError:
+            mode = "segsum"
+
+    results = []
+    n = 0
+    for name, g in load_suite(args):
+        g = with_norm(g, "right")
+        e_real = int(np.asarray(jnp.sum(g.values != 0)))
+        tiles = (
+            build_edge_tiles_device(g) if mode in ("pallas", "tiles_xla") else None
+        )
+        graph = Graph(csr=g, csc=g, tiles=tiles, tiles_t=tiles)
+        v = g.num_nodes
+        key = jax.random.PRNGKey(123)
+        x_dense_f = jax.jit(
+            lambda: jax.random.normal(key, (v, args.dim), jnp.float32)
+        )
+        x_dense = x_dense_f()
+        t_base = timeit(
+            jax.jit(lambda x: spmm(graph, x, mode=mode)), x_dense, iters=4
+        )
+        print(f"{n} {name} {args.dim} - cusparse_role {t_base*1e3:.4f}")
+        for k in args.k:
+            vals = jax.jit(
+                lambda: jax.random.normal(jax.random.fold_in(key, k), (v, k))
+            )()
+            sel = jax.jit(
+                lambda: jax.random.randint(
+                    jax.random.fold_in(key, 100 + k), (v, k), 0, args.dim, jnp.int32
+                )
+            )()
+            cbsr = CBSR(values=vals, selector=sel)
+            fwd = jax.jit(
+                lambda c: maxk_spgemm(
+                    graph, c, dim=args.dim, mode=mode, compute_dtype=jnp.bfloat16
+                )
+            )
+            t_fwd = timeit(fwd, cbsr, iters=4)
+            print(f"{n} {name} {args.dim} {k} maxk_fwd {t_fwd*1e3:.4f}")
+            ct = jax.jit(
+                lambda: jax.random.normal(jax.random.fold_in(key, 200 + k), (v, args.dim))
+            )()
+            grad_fn = jax.jit(
+                jax.grad(
+                    lambda va: jnp.vdot(
+                        maxk_spgemm(
+                            graph, CBSR(va, sel), dim=args.dim, mode=mode,
+                            compute_dtype=jnp.bfloat16,
+                        ),
+                        ct,
+                    )
+                )
+            )
+            t_fb = timeit(grad_fn, vals, iters=4)
+            print(f"{n} {name} {args.dim} {k} maxk_fwd_bwd {t_fb*1e3:.4f}")
+            rec = {
+                "graph": name,
+                "V": v,
+                "E": e_real,
+                "k": k,
+                "mode": mode,
+                "t_fwd_ms": t_fwd * 1e3,
+                "t_fwd_bwd_ms": t_fb * 1e3,
+                "t_baseline_ms": t_base * 1e3,
+                "fwd_gnnz_s": e_real / t_fwd / 1e9,
+                "speedup_vs_baseline": t_base / t_fwd,
+            }
+            if args.validate:
+                ok, detail = validate_graph(graph, cbsr, args.dim, mode)
+                rec["valid"] = ok
+                rec["validation"] = detail
+                log(f"  validate k={k}: ok={ok} {detail}")
+            results.append(rec)
+        n += 1
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(results, f, indent=1)
+        log(f"wrote {args.json_out}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -165,12 +165,39 @@ def train(
     train_step = make_train_step(state.model, state.tx, data.multilabel)
     eval_step = make_eval_step(state.model, data.multilabel, metric)
 
+    if cfg.validate_kernels and cfg.nonlinear == "maxk":
+        # --validate_kernels (utils/config.py:68-69): selected kernel vs
+        # the segment-sum oracle before training starts
+        from maxk_tpu.bench.kernel_bench import validate_graph
+        from maxk_tpu.sparse.cbsr import maxk_cbsr
+
+        xs = jnp.asarray(data.features[:, : cfg.hidden_dim])
+        if xs.shape[1] < cfg.hidden_dim:
+            xs = jnp.pad(xs, ((0, 0), (0, cfg.hidden_dim - xs.shape[1])))
+        ok, detail = validate_graph(
+            state.graph, maxk_cbsr(xs, cfg.maxk), cfg.hidden_dim, cfg.kernel_mode
+        )
+        if logger:
+            logger.info(f"kernel validation: ok={ok} {detail}")
+        if not ok:
+            raise RuntimeError(f"kernel validation failed: {detail}")
+
     feats = jnp.asarray(data.features)
     labels = jnp.asarray(data.labels)
     tmask = jnp.asarray(data.train_mask)
     masks = (tmask, jnp.asarray(data.val_mask), jnp.asarray(data.test_mask))
 
     log = logger.info if logger else (lambda *_: None)
+
+    fwd_only = None
+    if cfg.profile_kernels:
+        # --profile_kernels (utils/config.py:70-71): separate fwd timing,
+        # the role of the reference's cuda-event fwd/bwd split
+        # (maxk_gnn_integrated.py:119-151)
+        fwd_only = jax.jit(
+            lambda v: state.model.apply(v, state.graph, feats, train=False)
+        )
+
     for epoch in range(cfg.epochs):
         state.rng, step_rng = jax.random.split(state.rng)
         t0 = time.perf_counter()
@@ -182,6 +209,13 @@ def train(
         dt = time.perf_counter() - t0
         if epoch >= warmup_epochs:
             state.epoch_times.append(dt)
+            if fwd_only is not None and epoch % 10 == 0:
+                t1 = time.perf_counter()
+                jax.block_until_ready(fwd_only(state.variables))
+                log(
+                    f"  profile: fwd {1e3*(time.perf_counter()-t1):.2f} ms "
+                    f"of {dt*1e3:.2f} ms step"
+                )
         tr, va, te = eval_step(state.variables, state.graph, feats, labels, masks)
         tr, va, te = float(tr), float(va), float(te)
         if va > state.best_val:

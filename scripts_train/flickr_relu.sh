@@ -1,0 +1,4 @@
+#!/bin/bash
+cd "$(dirname "$0")/.." && . scripts_train/common.sh
+run_train flickr "${1:-sage}" relu 32 "${2:-97}" \
+  --hidden_layers 3 --hidden_dim 256 --dropout 0.2 --lr 0.001 --epochs 400

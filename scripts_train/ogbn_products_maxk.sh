@@ -1,0 +1,5 @@
+#!/bin/bash
+# ogbn-products: 3x256, dropout 0.5, lr 0.003, 500 epochs (reference ogbn_products_maxk.sh:13-25)
+cd "$(dirname "$0")/.." && . scripts_train/common.sh
+run_train ogbn-products "${1:-sage}" maxk "${3:-32}" "${2:-97}" \
+  --hidden_layers 3 --hidden_dim 256 --dropout 0.5 --lr 0.003 --epochs 500

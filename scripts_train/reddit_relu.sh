@@ -1,0 +1,4 @@
+#!/bin/bash
+cd "$(dirname "$0")/.." && . scripts_train/common.sh
+run_train reddit "${1:-sage}" relu 32 "${2:-97}" \
+  --hidden_layers 4 --hidden_dim 256 --dropout 0.5 --lr 0.01 --epochs 3000
