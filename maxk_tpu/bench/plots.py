@@ -1,0 +1,86 @@
+"""Analysis figures from benchmark JSON — role of the reference's plot
+scripts (`plotgnn.py`, `plot_gnn2.py`, `gnnaia_plot*.py`), which embed
+hard-coded measured tables; here figures render from the JSON reports the
+harnesses emit.
+
+  python -m maxk_tpu.bench.plots --kernel kernel_bench.json --out figs/
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def plot_kernel_bench(records, out_dir):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    graphs = sorted({r["graph"] for r in records})
+    ks = sorted({r["k"] for r in records})
+    fig, axes = plt.subplots(1, 2, figsize=(11, 4))
+    width = 0.8 / max(len(ks), 1)
+    for i, k in enumerate(ks):
+        xs, speed, nnzs = [], [], []
+        for gi, g in enumerate(graphs):
+            rec = next((r for r in records if r["graph"] == g and r["k"] == k), None)
+            if rec:
+                xs.append(gi + i * width)
+                speed.append(rec["speedup_vs_baseline"])
+                nnzs.append(rec["fwd_gnnz_s"])
+        axes[0].bar(xs, speed, width=width, label=f"k={k}")
+        axes[1].bar(xs, nnzs, width=width, label=f"k={k}")
+    for ax, title in zip(axes, ["speedup vs dense baseline", "fwd Gnnz/s"]):
+        ax.set_xticks(range(len(graphs)))
+        ax.set_xticklabels(graphs, rotation=20)
+        ax.set_title(title)
+        ax.legend()
+        ax.axhline(1.0 if "speedup" in title else 0, color="k", lw=0.5)
+    fig.tight_layout()
+    path = os.path.join(out_dir, "kernel_bench.png")
+    fig.savefig(path, dpi=120)
+    return path
+
+
+def plot_training_curves(scalars_jsonl, out_dir, tag="val_acc"):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    steps, vals = [], []
+    with open(scalars_jsonl) as f:
+        for line in f:
+            rec = json.loads(line)
+            if rec["tag"] == tag:
+                steps.append(rec["step"])
+                vals.append(rec["value"])
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.plot(steps, vals)
+    ax.set_xlabel("epoch")
+    ax.set_ylabel(tag)
+    fig.tight_layout()
+    path = os.path.join(out_dir, f"train_{tag}.png")
+    fig.savefig(path, dpi=120)
+    return path
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--kernel", default="")
+    p.add_argument("--scalars", default="")
+    p.add_argument("--out", default="figs")
+    args = p.parse_args(argv)
+    os.makedirs(args.out, exist_ok=True)
+    if args.kernel:
+        with open(args.kernel) as f:
+            print(plot_kernel_bench(json.load(f), args.out))
+    if args.scalars:
+        print(plot_training_curves(args.scalars, args.out))
+
+
+if __name__ == "__main__":
+    main()

@@ -17,8 +17,9 @@ import jax
 
 class KernelMode(str, enum.Enum):
     AUTO = "auto"
-    PALLAS = "pallas"  # Pallas edge-tile kernel (TPU)
-    TILES_XLA = "tiles_xla"  # XLA over the same tile schedule
+    PALLAS = "pallas"  # Pallas block-dense brick kernel (TPU)
+    TILES_XLA = "tiles_xla"  # XLA over the tile schedule (one-shot)
+    TILES_SCAN = "tiles_scan"  # XLA tile schedule, memory-bounded scan
     SEGSUM = "segsum"  # gather + segment_sum oracle
 
 
@@ -27,5 +28,5 @@ def resolve_mode(mode: str | KernelMode, has_tiles: bool) -> KernelMode:
     if mode != KernelMode.AUTO:
         return mode
     if jax.default_backend() == "tpu" and has_tiles:
-        return KernelMode.PALLAS
+        return KernelMode.TILES_SCAN
     return KernelMode.SEGSUM

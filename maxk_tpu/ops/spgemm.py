@@ -78,6 +78,10 @@ def _spmm_impl(graph: Graph, x: jax.Array, mode: KernelMode, transpose: bool):
         return spmm_pallas(tiles, x)
     if mode == KernelMode.TILES_XLA:
         return spmm_tiles_xla(tiles, x)
+    if mode == KernelMode.TILES_SCAN:
+        from maxk_tpu.ops.spmm_xla import spmm_tiles_scan
+
+        return spmm_tiles_scan(tiles, x)
     return spmm_segsum(csr, x)
 
 

@@ -51,6 +51,47 @@ def spmm_tiles_xla(tiles: EdgeTiles, x: jax.Array) -> jax.Array:
     return out.reshape(nb * r, -1)[: tiles.num_nodes]
 
 
+def spmm_tiles_scan(
+    tiles: EdgeTiles, x: jax.Array, chunk: int = 256
+) -> jax.Array:
+    """Memory-bounded tile SpMM: lax.scan over tile chunks.
+
+    Same math as `spmm_tiles_xla` but the (·, T, D) gather intermediate is
+    bounded to `chunk` tiles; per-chunk (chunk, R, D) partials are
+    scatter-added into the (NB, R, D) accumulator carried through the
+    scan (a chunk-sized scatter — cheap — instead of an E-sized one).
+    This is the full-graph-scale XLA path: cost ≈ the raw gather rate.
+    """
+    r = tiles.row_block
+    nb = tiles.num_row_blocks
+    nt = tiles.num_tiles
+    t = tiles.edge_tile
+    d = x.shape[1]
+    nc = -(-nt // chunk)
+    pad = nc * chunk - nt
+    # pad with inert tiles aliasing the last block (value-0 edges)
+    blocks = jnp.pad(tiles.block, (0, pad), constant_values=nb - 1)
+    cols = jnp.pad(tiles.cols, ((0, pad), (0, 0)))
+    vals = jnp.pad(tiles.vals, ((0, pad), (0, 0)))
+    lrow = jnp.pad(tiles.localrow, ((0, pad), (0, 0)))
+    blocks = blocks.reshape(nc, chunk)
+    cols = cols.reshape(nc, chunk, t)
+    vals = vals.reshape(nc, chunk, t)
+    lrow = lrow.reshape(nc, chunk, t)
+
+    def step(acc, inp):
+        b, c, v, lr = inp
+        gathered = x[c]  # (chunk, T, D)
+        weighted = gathered * v[..., None].astype(x.dtype)
+        onehot = jax.nn.one_hot(lr, r, dtype=x.dtype)  # (chunk, T, R)
+        partial = jnp.einsum("ctr,ctd->crd", onehot, weighted)
+        return acc.at[b].add(partial), None
+
+    acc = jnp.zeros((nb, r, d), dtype=x.dtype)
+    acc, _ = jax.lax.scan(step, acc, (blocks, cols, vals, lrow))
+    return acc.reshape(nb * r, d)[: tiles.num_nodes]
+
+
 def spmm_dense(g: CSRGraph, x: jax.Array) -> jax.Array:
     """Densified A @ x — brute-force oracle for tiny test graphs only."""
     v = g.num_nodes

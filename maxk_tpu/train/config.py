@@ -35,7 +35,7 @@ class TrainConfig:
     checkpoint_every: int = 0  # 0 = only final/best
     # kernel flags (reference: --use_maxk_kernels/--kernel_mode/…,
     # utils/config.py:60-81)
-    kernel_mode: str = "auto"  # auto | pallas | tiles_xla | segsum
+    kernel_mode: str = "auto"  # auto | pallas | tiles_xla | tiles_scan | segsum
     compute_dtype: str = ""  # "" | bfloat16
     validate_kernels: bool = False
     profile_kernels: bool = False
@@ -55,7 +55,9 @@ class TrainConfig:
         assert self.model in ("sage", "gcn", "gin", "gnn_res"), self.model
         assert self.nonlinear in ("maxk", "relu"), self.nonlinear
         assert 1 <= self.maxk <= self.hidden_dim, (self.maxk, self.hidden_dim)
-        assert self.kernel_mode in ("auto", "pallas", "tiles_xla", "segsum")
+        assert self.kernel_mode in (
+            "auto", "pallas", "tiles_xla", "tiles_scan", "segsum",
+        )
 
 
 def parse_args(argv=None) -> TrainConfig:

@@ -147,3 +147,33 @@ def test_bf16_compute_dtype_close(small_graph):
     err = np.abs(np.asarray(y32) - np.asarray(y16)).mean()
     scale = np.abs(np.asarray(y32)).mean() + 1e-6
     assert err / scale < 0.03
+
+
+def test_spmm_tiles_scan_matches_segsum(small_graph):
+    from maxk_tpu.ops.spmm_xla import spmm_tiles_scan
+
+    g = with_norm(small_graph, "right")
+    x = _x(small_graph)
+    tiles = build_edge_tiles(g, 8, 64)
+    y1 = spmm_tiles_scan(tiles, x, chunk=7)
+    y2 = spmm_segsum(g, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_custom_vjp_tiles_scan(small_graph):
+    graph = build_graph(small_graph, norm="right", build_tiles=True)
+    x = _x(small_graph)
+    ct = _x(small_graph, seed=11)
+
+    def f(x):
+        return jnp.vdot(spmm(graph, x, mode="tiles_scan"), ct)
+
+    def f_ref(x):
+        return jnp.vdot(spmm_segsum(graph.csr, x), ct)
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(f)(x)),
+        np.asarray(jax.grad(f_ref)(x)),
+        rtol=1e-4,
+        atol=1e-4,
+    )
