@@ -86,7 +86,7 @@ def main():
     log(f"graph {args.graph} x{scale}: V={v} E={g.nnz} (live {e_real})")
 
     tiles = tiles_t = None
-    if mode in ("pallas", "tiles_xla"):
+    if mode in ("pallas", "tiles_xla", "tiles_scan"):
         tiles = build_edge_tiles_device(g)
         tiles_t = tiles  # symmetric graph with right-norm is NOT symmetric
         # in values, but benchmark forward only uses `tiles`; backward
@@ -105,15 +105,18 @@ def main():
     cbsr = CBSR(values=vals, selector=sel)
     x_dense = jax.jit(lambda c: cbsr_densify(c, dim))(cbsr)
 
+    # NOTE: the graph is a jit ARGUMENT, never a closure — closures embed
+    # the (GB-scale) tile tables as HLO constants, which breaks the
+    # remote-compile tunnel (HTTP 413) and bloats every executable
     fwd = jax.jit(
-        lambda c: maxk_spgemm(graph, c, dim=dim, mode=mode,
-                              compute_dtype=jnp.bfloat16)
+        lambda g_, c: maxk_spgemm(g_, c, dim=dim, mode=mode,
+                                  compute_dtype=jnp.bfloat16)
     )
-    t_fwd = timeit(fwd, cbsr, iters=8)
+    t_fwd = timeit(fwd, graph, cbsr, iters=8)
     log(f"maxk fwd k={k}: {t_fwd*1e3:.3f} ms -> {e_real/t_fwd/1e9:.3f} Gnnz/s")
 
-    baseline = jax.jit(lambda x: spmm(graph, x, mode=mode))
-    t_base = timeit(baseline, x_dense, iters=8)
+    baseline = jax.jit(lambda g_, x: spmm(g_, x, mode=mode))
+    t_base = timeit(baseline, graph, x_dense, iters=8)
     log(f"dense f32 baseline: {t_base*1e3:.3f} ms "
         f"({e_real/t_base/1e9:.3f} Gnnz/s)")
 
@@ -123,14 +126,14 @@ def main():
     )()
     grad_fn = jax.jit(
         jax.grad(
-            lambda va: jnp.vdot(
-                maxk_spgemm(graph, CBSR(va, sel), dim=dim, mode=mode,
+            lambda va, g_, s_, c_: jnp.vdot(
+                maxk_spgemm(g_, CBSR(va, s_), dim=dim, mode=mode,
                             compute_dtype=jnp.bfloat16),
-                ct,
+                c_,
             )
         )
     )
-    t_bwd = timeit(grad_fn, vals, iters=8)
+    t_bwd = timeit(grad_fn, vals, graph, sel, ct, iters=8)
     log(f"maxk fwd+bwd: {t_bwd*1e3:.3f} ms")
 
     nnz_s = e_real / t_fwd

@@ -122,7 +122,9 @@ def main(argv=None):
         g = with_norm(g, "right")
         e_real = int(np.asarray(jnp.sum(g.values != 0)))
         tiles = (
-            build_edge_tiles_device(g) if mode in ("pallas", "tiles_xla") else None
+            build_edge_tiles_device(g)
+            if mode in ("pallas", "tiles_xla", "tiles_scan")
+            else None
         )
         graph = Graph(csr=g, csc=g, tiles=tiles, tiles_t=tiles)
         v = g.num_nodes
@@ -131,8 +133,10 @@ def main(argv=None):
             lambda: jax.random.normal(key, (v, args.dim), jnp.float32)
         )
         x_dense = x_dense_f()
+        # graph passed as jit argument, never closed over (remote-compile
+        # ships closures as constants)
         t_base = timeit(
-            jax.jit(lambda x: spmm(graph, x, mode=mode)), x_dense, iters=4
+            jax.jit(lambda g_, x: spmm(g_, x, mode=mode)), graph, x_dense, iters=4
         )
         print(f"{n} {name} {args.dim} - cusparse_role {t_base*1e3:.4f}")
         for k in args.k:
@@ -146,27 +150,27 @@ def main(argv=None):
             )()
             cbsr = CBSR(values=vals, selector=sel)
             fwd = jax.jit(
-                lambda c: maxk_spgemm(
-                    graph, c, dim=args.dim, mode=mode, compute_dtype=jnp.bfloat16
+                lambda g_, c: maxk_spgemm(
+                    g_, c, dim=args.dim, mode=mode, compute_dtype=jnp.bfloat16
                 )
             )
-            t_fwd = timeit(fwd, cbsr, iters=4)
+            t_fwd = timeit(fwd, graph, cbsr, iters=4)
             print(f"{n} {name} {args.dim} {k} maxk_fwd {t_fwd*1e3:.4f}")
             ct = jax.jit(
                 lambda: jax.random.normal(jax.random.fold_in(key, 200 + k), (v, args.dim))
             )()
             grad_fn = jax.jit(
                 jax.grad(
-                    lambda va: jnp.vdot(
+                    lambda va, g_, s_, c_: jnp.vdot(
                         maxk_spgemm(
-                            graph, CBSR(va, sel), dim=args.dim, mode=mode,
+                            g_, CBSR(va, s_), dim=args.dim, mode=mode,
                             compute_dtype=jnp.bfloat16,
                         ),
-                        ct,
+                        c_,
                     )
                 )
             )
-            t_fb = timeit(grad_fn, vals, iters=4)
+            t_fb = timeit(grad_fn, vals, graph, sel, ct, iters=4)
             print(f"{n} {name} {args.dim} {k} maxk_fwd_bwd {t_fb*1e3:.4f}")
             rec = {
                 "graph": name,

@@ -80,17 +80,21 @@ def main(argv=None):
 
         x_dense = jax.jit(lambda c: cbsr_densify(c, args.dim))(cbsr)
         t_dense = timeit(
-            jax.jit(lambda x: spmm(graph, x.astype(jnp.bfloat16), mode=args.mode)),
+            jax.jit(
+                lambda g_, x: spmm(g_, x.astype(jnp.bfloat16), mode=args.mode)
+            ),
+            graph,
             x_dense,
             iters=4,
         )
         t_cbsr = timeit(
             jax.jit(
-                lambda c: maxk_spgemm(
-                    graph, c, dim=args.dim, mode=args.mode,
+                lambda g_, c: maxk_spgemm(
+                    g_, c, dim=args.dim, mode=args.mode,
                     compute_dtype=jnp.bfloat16,
                 )
             ),
+            graph,
             cbsr,
             iters=4,
         )

@@ -43,7 +43,9 @@ class _GNNBase(nn.Module):
     def _nonlinear(self, x):
         """Returns (activated_dense, cbsr_or_None)."""
         if self.nonlinear == "maxk":
-            cbsr = maxk_cbsr(x, self.maxk)
+            from maxk_tpu.ops.topk_pallas import maxk_cbsr_fast
+
+            cbsr = maxk_cbsr_fast(x, self.maxk)
             return cbsr_densify(cbsr, x.shape[-1]), cbsr
         return nn.relu(x), None
 

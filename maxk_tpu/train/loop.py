@@ -62,7 +62,7 @@ def setup(cfg: TrainConfig, data: GraphData) -> TrainState:
         kernel_mode=cfg.kernel_mode,
         compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None,
     )
-    build_tiles = cfg.kernel_mode in ("auto", "pallas", "tiles_xla")
+    build_tiles = cfg.kernel_mode in ("auto", "pallas", "tiles_xla", "tiles_scan")
     graph = build_graph(
         data.csr,
         norm=gnorm,
