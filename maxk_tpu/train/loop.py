@@ -157,10 +157,38 @@ def train(
     logger=None,
     writer=None,
     warmup_epochs: int = 10,
+    checkpoint_dir: str = "",
 ) -> TrainState:
     """Run the full training loop; returns the final state with best-val
-    tracking (`maxk_gnn_integrated.py:156-175`)."""
+    tracking (`maxk_gnn_integrated.py:156-175`).
+
+    With `cfg.checkpoint_every > 0` and a `checkpoint_dir`, saves
+    (params, opt_state, epoch, best metrics) periodically and RESUMES
+    from the latest checkpoint on restart — the capability the reference
+    declared but never wired (`utils/config.py:55-56` unused
+    `--evaluate`, no mid-training resume)."""
     state = setup(cfg, data)
+    start_epoch = 0
+    if checkpoint_dir and cfg.checkpoint_every > 0:
+        from maxk_tpu.train.checkpoint import latest_checkpoint, restore_checkpoint
+
+        path = latest_checkpoint(checkpoint_dir)
+        if path:
+            payload = {
+                "params": state.variables["params"],
+                "opt_state": state.opt_state,
+                "epoch": 0,
+                "best_val": 0.0,
+                "best_test": 0.0,
+            }
+            restored = restore_checkpoint(path, payload)
+            state.variables["params"] = restored["params"]
+            state.opt_state = restored["opt_state"]
+            start_epoch = int(restored["epoch"]) + 1
+            state.best_val = float(restored["best_val"])
+            state.best_test = float(restored["best_test"])
+            if logger:
+                logger.info(f"resumed from {path} at epoch {start_epoch}")
     metric = "rocauc" if data.name == "ogbn-proteins" else "f1"
     train_step = make_train_step(state.model, state.tx, data.multilabel)
     eval_step = make_eval_step(state.model, data.multilabel, metric)
@@ -198,7 +226,7 @@ def train(
             lambda v: state.model.apply(v, state.graph, feats, train=False)
         )
 
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
         state.rng, step_rng = jax.random.split(state.rng)
         t0 = time.perf_counter()
         state.variables, state.opt_state, loss, _ = train_step(
@@ -229,6 +257,25 @@ def train(
             f"epoch {epoch:05d} | loss {float(loss):.4f} | train {tr:.4f} "
             f"| val {va:.4f} | test {te:.4f} | {dt*1e3:.1f} ms"
         )
+        if (
+            checkpoint_dir
+            and cfg.checkpoint_every > 0
+            and (epoch + 1) % cfg.checkpoint_every == 0
+        ):
+            from maxk_tpu.train.checkpoint import save_checkpoint
+
+            save_checkpoint(
+                checkpoint_dir,
+                {
+                    "params": state.variables["params"],
+                    "opt_state": state.opt_state,
+                    "epoch": epoch,
+                    "best_val": state.best_val,
+                    "best_test": state.best_test,
+                },
+                step=epoch,
+                is_best=va >= state.best_val,
+            )
     if state.epoch_times:
         log(
             f"avg epoch time (post-warmup): "

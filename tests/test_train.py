@@ -135,3 +135,22 @@ def test_evaluate_entrypoint(tiny_data):
     tr, va, te = evaluate(state, tiny_data)
     for m in (tr, va, te):
         assert 0.0 <= m <= 1.0
+
+
+def test_checkpoint_resume_midtraining(tmp_path, tiny_data):
+    """Train 10 epochs with checkpointing, kill, resume — final params
+    must continue from the checkpoint (new capability vs reference)."""
+    from maxk_tpu.train.loop import train
+
+    cfg = _cfg(epochs=6, checkpoint_every=2)
+    s1 = train(cfg, tiny_data, checkpoint_dir=str(tmp_path))
+    # second run with more epochs resumes from epoch 6's checkpoint
+    cfg2 = _cfg(epochs=8, checkpoint_every=2)
+    s2 = train(cfg2, tiny_data, checkpoint_dir=str(tmp_path))
+    # resumed run retains (or improves) the best metrics
+    assert s2.best_val >= s1.best_val - 1e-6
+    import os
+
+    names = sorted(os.listdir(tmp_path))
+    assert any(n.startswith("ckpt_") for n in names)
+    assert "best" in names

@@ -55,7 +55,7 @@ def run_single(cfg, data, logger, writer, exp):
         tr, va, te = evaluate(state, data)
         logger.info(f"eval-only: train {tr:.4f} val {va:.4f} test {te:.4f}")
         return
-    state = train(cfg, data, logger, writer)
+    state = train(cfg, data, logger, writer, checkpoint_dir=exp)
     if cfg.save_model:
         save_checkpoint(
             exp,
