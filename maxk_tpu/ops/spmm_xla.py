@@ -52,15 +52,22 @@ def spmm_tiles_xla(tiles: EdgeTiles, x: jax.Array) -> jax.Array:
 
 
 def spmm_tiles_scan(
-    tiles: EdgeTiles, x: jax.Array, chunk: int = 256
+    tiles: EdgeTiles, x: jax.Array, chunk: int = 256, accumulate: str = "matmul"
 ) -> jax.Array:
     """Memory-bounded tile SpMM: lax.scan over tile chunks.
 
     Same math as `spmm_tiles_xla` but the (·, T, D) gather intermediate is
-    bounded to `chunk` tiles; per-chunk (chunk, R, D) partials are
-    scatter-added into the (NB, R, D) accumulator carried through the
-    scan (a chunk-sized scatter — cheap — instead of an E-sized one).
-    This is the full-graph-scale XLA path: cost ≈ the raw gather rate.
+    bounded to `chunk` tiles. This is the full-graph-scale XLA path: cost
+    ≈ the raw gather rate (docs/PERF.md).
+
+    Accumulation of per-chunk (chunk, R, D) partials into the (NB, R, D)
+    output:
+      - "matmul" (default): tiles within a chunk map to a ≤chunk-wide
+        contiguous block window (tiles are block-sorted), so the
+        tile→block reduction is a (chunk, chunk)·(chunk, R·D) matmul and
+        the window is added back with one dynamic slice read-modify-write
+        — entirely scatter-free (TPU scatter costs ~µs/row).
+      - "scatter": per-chunk `.at[b].add` (simpler; measurably slower).
     """
     r = tiles.row_block
     nb = tiles.num_row_blocks
@@ -79,17 +86,39 @@ def spmm_tiles_scan(
     vals = vals.reshape(nc, chunk, t)
     lrow = lrow.reshape(nc, chunk, t)
 
-    def step(acc, inp):
-        b, c, v, lr = inp
+    def partial_of(c, v, lr):
         gathered = x[c]  # (chunk, T, D)
         weighted = gathered * v[..., None].astype(x.dtype)
         onehot = jax.nn.one_hot(lr, r, dtype=x.dtype)  # (chunk, T, R)
-        partial = jnp.einsum("ctr,ctd->crd", onehot, weighted)
-        return acc.at[b].add(partial), None
+        return jnp.einsum("ctr,ctd->crd", onehot, weighted)
 
-    acc = jnp.zeros((nb, r, d), dtype=x.dtype)
+    if accumulate == "scatter":
+
+        def step(acc, inp):
+            b, c, v, lr = inp
+            return acc.at[b].add(partial_of(c, v, lr)), None
+
+        acc = jnp.zeros((nb, r, d), dtype=x.dtype)
+        acc, _ = jax.lax.scan(step, acc, (blocks, cols, vals, lrow))
+        return acc.reshape(nb * r, d)[: tiles.num_nodes]
+
+    def step(acc, inp):
+        b, c, v, lr = inp
+        partial = partial_of(c, v, lr)  # (chunk, R, D)
+        b0 = b[0]
+        rel = b - b0  # ascending, in [0, chunk)
+        seg_oh = (
+            rel[None, :]
+            == jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+        ).astype(x.dtype)
+        win = (seg_oh @ partial.reshape(chunk, r * d)).reshape(chunk, r, d)
+        cur = jax.lax.dynamic_slice(acc, (b0, 0, 0), (chunk, r, d))
+        return jax.lax.dynamic_update_slice(acc, cur + win, (b0, 0, 0)), None
+
+    # pad the accumulator so the chunk window never clamps at the end
+    acc = jnp.zeros((nb + chunk, r, d), dtype=x.dtype)
     acc, _ = jax.lax.scan(step, acc, (blocks, cols, vals, lrow))
-    return acc.reshape(nb * r, d)[: tiles.num_nodes]
+    return acc.reshape((nb + chunk) * r, d)[: tiles.num_nodes]
 
 
 def spmm_dense(g: CSRGraph, x: jax.Array) -> jax.Array:

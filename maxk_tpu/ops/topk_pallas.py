@@ -33,8 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from maxk_tpu.sparse.cbsr import CBSR
 
-# (rb, d, k) one-hot scratch is the VMEM limiter: 64·256·32·4B = 2MB
-ROWS_PER_BLOCK = 64
+ROWS_PER_BLOCK = 256
 
 
 def _topk_kernel(k: int, x_ref, vals_ref, sel_ref):
@@ -56,30 +55,32 @@ def _topk_kernel(k: int, x_ref, vals_ref, sel_ref):
     gt = keys > thr
     eq = keys == thr
     n_gt = jnp.sum(gt.astype(jnp.int32), axis=1, keepdims=True)
-    eq_ex = jnp.cumsum(eq.astype(jnp.int32), axis=1) - eq.astype(jnp.int32)
-    take = gt | (eq & (eq_ex < (k - n_gt)))
+    # Mosaic has no cumsum lowering: exclusive lane prefix-sums as a
+    # matmul against a strictly-lower-triangular ones matrix (MXU)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (d, d), 0)
+    cj = jax.lax.broadcasted_iota(jnp.int32, (d, d), 1)
+    tri = (ci < cj).astype(jnp.float32)  # tri[c', c] = 1 iff c' < c
 
-    # compaction: rank within row, one-hot contraction onto (rb, k)
+    def excl_cumsum(m):
+        return jax.lax.dot(m, tri, preferred_element_type=jnp.float32)
+
+    eq_f = eq.astype(jnp.float32)
+    eq_ex = excl_cumsum(eq_f)
+    take = gt | (eq & (eq_ex < (k - n_gt).astype(jnp.float32)))
+
+    # compaction: rank within row, then k masked row-sums (batched
+    # dot_general trips a Mosaic attr-parse bug on this toolchain, so the
+    # extraction stays on the VPU: 2·k (rb, d) select+reduce passes)
     take_i = take.astype(jnp.float32)
-    rank = jnp.cumsum(take_i, axis=1) - take_i  # exclusive, in [0, k)
+    rank = excl_cumsum(take_i)  # exclusive, in [0, k)
     rank_i = rank.astype(jnp.int32)
-    # oh[r, c, j] = take[r,c] & (rank[r,c] == j) contracted over c
-    j_iota = jax.lax.broadcasted_iota(jnp.int32, (rb, d, k), 2)
-    oh = ((rank_i[:, :, None] == j_iota) & take[:, :, None]).astype(jnp.float32)
-    vals_ref[:] = jax.lax.dot_general(
-        x * take_i,
-        oh,
-        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
     cols = jax.lax.broadcasted_iota(jnp.int32, (rb, d), 1).astype(jnp.float32)
-    sel_f = jax.lax.dot_general(
-        cols * take_i,
-        oh,
-        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    sel_ref[:] = sel_f.astype(jnp.int32)
+    xm = x * take_i
+    cm = cols * take_i
+    for j in range(k):
+        m = ((rank_i == j) & take).astype(jnp.float32)
+        vals_ref[:, j] = jnp.sum(xm * m, axis=1)
+        sel_ref[:, j] = jnp.sum(cm * m, axis=1).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))

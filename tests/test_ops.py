@@ -177,3 +177,15 @@ def test_spmm_custom_vjp_tiles_scan(small_graph):
         rtol=1e-4,
         atol=1e-4,
     )
+
+
+@pytest.mark.parametrize("accumulate", ["matmul", "scatter"])
+def test_spmm_tiles_scan_accumulate_variants(small_graph, accumulate):
+    from maxk_tpu.ops.spmm_xla import spmm_tiles_scan
+
+    g = with_norm(small_graph, "right")
+    x = _x(small_graph)
+    tiles = build_edge_tiles(g, 8, 64)
+    y1 = spmm_tiles_scan(tiles, x, chunk=7, accumulate=accumulate)
+    y2 = spmm_segsum(g, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-4, atol=1e-4)
