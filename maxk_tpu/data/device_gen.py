@@ -66,7 +66,14 @@ def rmat_graph_device(
         dup = jnp.concatenate(
             [jnp.zeros((1,), bool), (rows[1:] == rows[:-1]) & (cols[1:] == cols[:-1])]
         )
-        values = jnp.where(dup, 0.0, 1.0).astype(jnp.float32)
+        # compact duplicates to an inert tail: re-sort with duplicates'
+        # row key pushed past the last node; indptr then only spans live
+        # edges and the tile schedules never touch the tail (shapes stay
+        # static — R-MAT hub collisions would otherwise waste ~30% of
+        # kernel slots as weight-0 edges)
+        rows = jnp.where(dup, num_nodes, rows)
+        rows, cols = jax.lax.sort((rows, cols), num_keys=2)
+        values = jnp.where(rows < num_nodes, 1.0, 0.0).astype(jnp.float32)
         indptr = jnp.searchsorted(rows, jnp.arange(num_nodes + 1, dtype=jnp.int32)).astype(
             jnp.int32
         )

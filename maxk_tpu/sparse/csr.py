@@ -95,8 +95,12 @@ def csr_to_scipy(g: CSRGraph):
     import scipy.sparse as sp
 
     v = g.num_nodes
+    indptr = np.asarray(g.indptr)
+    nnz = int(indptr[-1])
+    # device-built graphs may carry an inert tail past indptr[-1]
+    # (soft-dedup compaction, data/device_gen.py) — trim it
     return sp.csr_matrix(
-        (np.asarray(g.values), np.asarray(g.indices), np.asarray(g.indptr)),
+        (np.asarray(g.values)[:nnz], np.asarray(g.indices)[:nnz], indptr),
         shape=(v, v),
     )
 

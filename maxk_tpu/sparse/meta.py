@@ -76,8 +76,10 @@ def build_edge_tiles(
     instead of a ragged quadruple stream.
     """
     indptr = np.asarray(g.indptr, dtype=np.int64)
-    cols = np.asarray(g.indices, dtype=np.int32)
-    vals = np.asarray(g.values, dtype=np.float32)
+    # trim any inert tail past indptr[-1] (device soft-dedup compaction)
+    nnz = int(indptr[-1])
+    cols = np.asarray(g.indices, dtype=np.int32)[:nnz]
+    vals = np.asarray(g.values, dtype=np.float32)[:nnz]
     v = indptr.shape[0] - 1
     nb = -(-v // row_block)
 

@@ -146,9 +146,13 @@ def test_device_rmat_valid_csr():
 
     g = rmat_graph_device(300, 2000, seed=3)
     indptr = np.asarray(g.indptr)
-    cols = np.asarray(g.indices)
-    vals = np.asarray(g.values)
-    assert indptr[0] == 0 and indptr[-1] == cols.shape[0]
+    # duplicates are compacted into an inert tail past indptr[-1]
+    nnz = int(indptr[-1])
+    cols = np.asarray(g.indices)[:nnz]
+    vals = np.asarray(g.values)[:nnz]
+    assert indptr[0] == 0 and nnz <= np.asarray(g.indices).shape[0]
+    assert np.all(vals == 1.0)  # live region has no zero-weight slots
+    assert np.all(np.asarray(g.values)[nnz:] == 0.0)
     assert (np.diff(indptr) >= 0).all()
     # within-row columns sorted
     for r in range(0, 300, 37):
@@ -170,6 +174,6 @@ def test_device_rmat_valid_csr():
     # degree-normalization counts only live edges
     gn = with_norm(g, "right")
     sums = sp.csr_matrix(
-        (np.asarray(gn.values), cols, indptr), shape=(300, 300)
+        (np.asarray(gn.values)[:nnz], cols, indptr), shape=(300, 300)
     ).sum(1).A1
     np.testing.assert_allclose(sums, 1.0, rtol=1e-5)
