@@ -1,0 +1,85 @@
+"""Smoke tests for the CLI surfaces (tiny scales, CPU)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def test_export_cli(tmp_path):
+    from maxk_tpu.data.export import export_dataset
+
+    prefix = export_dataset("flickr", str(tmp_path), scale=0.005)
+    for ext in (".indptr", ".indices", ".values", ".feat", ".labels", ".masks"):
+        assert os.path.exists(prefix + ext), ext
+
+
+def test_kernel_bench_tiny(capsys):
+    from maxk_tpu.bench.kernel_bench import main
+
+    results = main(
+        [
+            "--graphs", "flickr",
+            "--k", "8",
+            "--scale", "0.002",
+            "--mode", "segsum",
+            "--validate",
+        ]
+    )
+    assert len(results) == 1
+    rec = results[0]
+    assert rec["valid"], rec
+    assert rec["t_fwd_ms"] > 0
+    out = capsys.readouterr().out
+    assert "maxk_fwd" in out and "cusparse_role" in out
+
+
+def test_spgemm_study_tiny(capsys):
+    from maxk_tpu.bench.spgemm_study import main
+
+    results = main(["--graph", "flickr", "--scale", "0.002", "--mode", "segsum"])
+    assert len(results) == 4  # 4 sparsities
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    payload = json.loads(line)
+    assert payload["results"][0]["cbsr_gflops"] > 0
+
+
+def test_plots_from_bench(tmp_path):
+    from maxk_tpu.bench.plots import plot_kernel_bench
+
+    records = [
+        {"graph": "flickr", "k": 8, "speedup_vs_baseline": 1.2, "fwd_gnnz_s": 0.1},
+        {"graph": "flickr", "k": 32, "speedup_vs_baseline": 0.9, "fwd_gnnz_s": 0.2},
+    ]
+    path = plot_kernel_bench(records, str(tmp_path))
+    assert os.path.exists(path)
+
+
+def test_train_cli_tiny(tmp_path):
+    from train import main
+
+    main(
+        [
+            "--dataset", "flickr",
+            "--model", "sage",
+            "--epochs", "2",
+            "--hidden_dim", "16",
+            "--hidden_layers", "2",
+            "--maxk", "4",
+            "--data_scale", "0.002",
+            "--kernel_mode", "segsum",
+            "--path", str(tmp_path),
+        ]
+    )
+    exp = os.path.join(tmp_path, "flickr_seed97", "sage_maxk")
+    assert os.path.exists(os.path.join(exp, "train.log"))
+    assert os.path.exists(os.path.join(exp, "scalars.jsonl"))
+
+
+def test_micro_bench_importable():
+    from maxk_tpu.bench import micro
+
+    assert callable(micro.timeit)
