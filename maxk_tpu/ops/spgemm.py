@@ -53,13 +53,23 @@ def _sharded_spmm(graph, x: jax.Array, transpose: bool) -> jax.Array:
 
     forward: all_gather x rows → local row-block aggregation → local rows
     backward: local A_i^T partials → psum_scatter (reduce + re-partition)
+
+    Uses the production tile kernel when the shard carries tile
+    schedules, else the segment-sum path.
     """
+    from maxk_tpu.ops.spmm_xla import spmm_tiles_scan
+
     if transpose:
-        z = spmm_segsum(graph.local_bwd(), x)  # (Vp, D) partial sums
+        if graph.bwd_tiles is not None:
+            z = spmm_tiles_scan(graph.local_bwd_tiles(), x)
+        else:
+            z = spmm_segsum(graph.local_bwd(), x)  # (Vp, D) partials
         return jax.lax.psum_scatter(
             z, graph.axis, scatter_dimension=0, tiled=True
         )
     xg = jax.lax.all_gather(x, graph.axis, axis=0, tiled=True)  # (Vp, D)
+    if graph.fwd_tiles is not None:
+        return spmm_tiles_scan(graph.local_fwd_tiles(), xg)
     return spmm_segsum(graph.local_fwd(), xg)
 
 
@@ -131,6 +141,10 @@ def _maxk_spgemm(dim, mode, compute_dtype, graph, vals, sel):
         x = cbsr_densify(CBSR(values=vals, selector=sel), dim)
         if compute_dtype is not None:
             x = x.astype(compute_dtype)
+        if graph.fwd_tiles is not None:
+            from maxk_tpu.ops.spmm_xla import spmm_tiles_scan
+
+            return spmm_tiles_scan(graph.local_fwd_tiles(), x).astype(out_dtype)
         return spmm_segsum(graph.local_fwd(), x).astype(out_dtype)
     x = cbsr_densify(CBSR(values=vals, selector=sel), dim)
     if compute_dtype is not None:

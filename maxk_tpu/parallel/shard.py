@@ -36,6 +36,8 @@ class ShardedGraph:
 
     fwd_*: A row block     — (n, Vs+1) / (n, Em): local rows, global cols
     bwd_*: A_i^T           — (n, Vp+1) / (n, Em): global rows, local cols
+    *_tiles: optional stacked edge-tile schedules per shard (production
+    kernel path; see `sparse/meta.EdgeTiles`), padded with inert tiles.
     """
 
     fwd_indptr: jax.Array
@@ -44,10 +46,13 @@ class ShardedGraph:
     bwd_indptr: jax.Array
     bwd_indices: jax.Array
     bwd_values: jax.Array
+    fwd_tiles: Optional[dict] = None  # {block, cols, vals, localrow} stacked
+    bwd_tiles: Optional[dict] = None
     axis: str = struct.field(pytree_node=False, default=GRAPH_AXIS)
     num_shards: int = struct.field(pytree_node=False, default=1)
     num_nodes: int = struct.field(pytree_node=False, default=0)
     padded_nodes: int = struct.field(pytree_node=False, default=0)
+    row_block: int = struct.field(pytree_node=False, default=8)
 
     @property
     def shard_nodes(self) -> int:
@@ -68,6 +73,26 @@ class ShardedGraph:
             values=self.bwd_values.reshape(-1),
         )
 
+    def _local_tiles(self, stacked: dict, num_rows: int):
+        from maxk_tpu.sparse.meta import EdgeTiles
+
+        nt, t = stacked["cols"].shape[-2:]
+        return EdgeTiles(
+            block=stacked["block"].reshape(nt),
+            cols=stacked["cols"].reshape(nt, t),
+            vals=stacked["vals"].reshape(nt, t),
+            localrow=stacked["localrow"].reshape(nt, t),
+            row_block=self.row_block,
+            num_row_blocks=-(-num_rows // self.row_block),
+            num_nodes=num_rows,
+        )
+
+    def local_fwd_tiles(self):
+        return self._local_tiles(self.fwd_tiles, self.shard_nodes)
+
+    def local_bwd_tiles(self):
+        return self._local_tiles(self.bwd_tiles, self.padded_nodes)
+
 
 def _pad_to(x: np.ndarray, n: int, fill=0) -> np.ndarray:
     if x.shape[0] == n:
@@ -77,9 +102,18 @@ def _pad_to(x: np.ndarray, n: int, fill=0) -> np.ndarray:
 
 
 def build_sharded_graph(
-    csr: CSRGraph, num_shards: int, norm: str = "none"
+    csr: CSRGraph,
+    num_shards: int,
+    norm: str = "none",
+    build_tiles: bool = False,
+    row_block: int = 8,
+    edge_tile: int = 256,
 ) -> ShardedGraph:
-    """Host-side partition of a (normalized) CSR over `num_shards` devices."""
+    """Host-side partition of a (normalized) CSR over `num_shards` devices.
+
+    With `build_tiles`, per-shard edge-tile schedules are built for both
+    the local row block and its transpose, so the sharded path runs the
+    same production tile kernels as single-chip (`ops/spgemm`)."""
     import scipy.sparse as sp
 
     g = with_norm(csr, norm)
@@ -109,6 +143,45 @@ def build_sharded_graph(
 
     fip, fix, fvl = stack(fwd_blocks, vs)
     bip, bix, bvl = stack(bwd_blocks, vp)
+
+    fwd_tiles = bwd_tiles = None
+    if build_tiles:
+        from maxk_tpu.sparse.meta import build_edge_tiles
+
+        def stack_tiles(blocks, rows):
+            tiles = []
+            for b in blocks:
+                gb = CSRGraph(
+                    indptr=jnp.asarray(b.indptr.astype(np.int32)),
+                    indices=jnp.asarray(b.indices.astype(np.int32)),
+                    values=jnp.asarray(b.data.astype(np.float32)),
+                )
+                tiles.append(build_edge_tiles(gb, row_block, edge_tile))
+            ntm = max(t.num_tiles for t in tiles)
+            nb = -(-rows // row_block)
+
+            def padt(t):
+                pad = ntm - t.num_tiles
+                return {
+                    "block": np.pad(
+                        np.asarray(t.block), (0, pad), constant_values=nb - 1
+                    ),
+                    "cols": np.pad(np.asarray(t.cols), ((0, pad), (0, 0))),
+                    "vals": np.pad(np.asarray(t.vals), ((0, pad), (0, 0))),
+                    "localrow": np.pad(
+                        np.asarray(t.localrow), ((0, pad), (0, 0))
+                    ),
+                }
+
+            stacked = [padt(t) for t in tiles]
+            return {
+                k: jnp.asarray(np.stack([s[k] for s in stacked]))
+                for k in stacked[0]
+            }
+
+        fwd_tiles = stack_tiles(fwd_blocks, vs)
+        bwd_tiles = stack_tiles(bwd_blocks, vp)
+
     return ShardedGraph(
         fwd_indptr=jnp.asarray(fip),
         fwd_indices=jnp.asarray(fix),
@@ -116,10 +189,13 @@ def build_sharded_graph(
         bwd_indptr=jnp.asarray(bip),
         bwd_indices=jnp.asarray(bix),
         bwd_values=jnp.asarray(bvl),
+        fwd_tiles=fwd_tiles,
+        bwd_tiles=bwd_tiles,
         axis=GRAPH_AXIS,
         num_shards=num_shards,
         num_nodes=v,
         padded_nodes=vp,
+        row_block=row_block,
     )
 
 

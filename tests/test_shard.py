@@ -139,3 +139,39 @@ def _tx(cfg):
     from maxk_tpu.train.optim import build_optimizer
 
     return build_optimizer(cfg.lr, cfg.weight_decay, cfg.enable_lookahead)
+
+
+def test_sharded_tiles_matches_single(small_graph):
+    """Sharded path with tile schedules == single-device result."""
+    mesh = make_mesh(N_DEV)
+    sgraph = build_sharded_graph(small_graph, N_DEV, norm="right", build_tiles=True)
+    g1 = build_graph(small_graph, norm="right", build_tiles=False)
+    rng = np.random.default_rng(2)
+    v = small_graph.num_nodes
+    x = rng.standard_normal((v, D)).astype(np.float32)
+    ct = rng.standard_normal((v, D)).astype(np.float32)
+    xp = jnp.asarray(shard_rows(x, N_DEV))
+    ctp = jnp.asarray(shard_rows(ct, N_DEV))
+    k = 8
+
+    y_sh = _sharded_apply(mesh, sgraph, lambda g, xx: spmm(g, xx), xp)
+    y1 = spmm(g1, jnp.asarray(x), mode="segsum")
+    np.testing.assert_allclose(
+        np.asarray(y_sh)[:v], np.asarray(y1), rtol=1e-4, atol=1e-4
+    )
+
+    def lgrad(g, xx, cc):
+        def f(xx):
+            return jnp.vdot(maxk_spgemm(g, maxk_cbsr(xx, k), dim=D), cc)
+
+        return jax.grad(f)(xx)
+
+    gx_sh = _sharded_apply(mesh, sgraph, lgrad, xp, ctp)
+
+    def f1(xx):
+        return jnp.vdot(maxk_spgemm(g1, maxk_cbsr(xx, k), dim=D, mode="segsum"), jnp.asarray(ct))
+
+    gx1 = jax.grad(f1)(jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(gx_sh)[:v], np.asarray(gx1), rtol=1e-4, atol=1e-4
+    )
