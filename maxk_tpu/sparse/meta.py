@@ -158,7 +158,10 @@ def build_edge_tiles_device(
     index arithmetic), since TPU scatter is serial but gather is not.
     """
     v = g.num_nodes
-    e = g.nnz
+    # live edge count (excludes any compacted inert tail): one scalar
+    # fetch — keeps the static tile count tight so padding tiles don't
+    # burn gather slots
+    e = int(np.asarray(g.indptr[-1]))
     nb = -(-v // row_block)
     nt = -(-e // edge_tile) + nb  # static upper bound
 
