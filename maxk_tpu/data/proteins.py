@@ -9,7 +9,6 @@ Here that's one segment_sum over the CSR edge order.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from maxk_tpu.sparse.csr import CSRGraph

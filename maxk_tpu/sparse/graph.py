@@ -18,8 +18,6 @@ from __future__ import annotations
 
 from typing import Optional
 
-import jax
-import numpy as np
 from flax import struct
 
 from maxk_tpu.sparse.csr import CSRGraph, csr_to_scipy, csr_transpose, with_norm

@@ -2,11 +2,8 @@
 
 import json
 import os
-import subprocess
 import sys
 
-import numpy as np
-import pytest
 
 
 def test_export_cli(tmp_path):

@@ -10,7 +10,6 @@ Experiment artifacts land in `{path}/{dataset}_seed{seed}/{model}_{nonlinear}`
 """
 
 import os
-import sys
 
 import jax
 import numpy as np
