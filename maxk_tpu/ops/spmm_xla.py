@@ -88,6 +88,12 @@ def spmm_tiles_scan(
 
     def partial_of(c, v, lr):
         gathered = x[c]  # (chunk, T, D)
+        if r == 1:
+            # one tile == one row: the reduction is a weighted sum — no
+            # (chunk, T, R) one-hot materialization at all
+            return jnp.einsum(
+                "ct,ctd->cd", v.astype(x.dtype), gathered
+            )[:, None, :]
         weighted = gathered * v[..., None].astype(x.dtype)
         onehot = jax.nn.one_hot(lr, r, dtype=x.dtype)  # (chunk, T, R)
         return jnp.einsum("ctr,ctd->crd", onehot, weighted)

@@ -189,3 +189,14 @@ def test_spmm_tiles_scan_accumulate_variants(small_graph, accumulate):
     y1 = spmm_tiles_scan(tiles, x, chunk=7, accumulate=accumulate)
     y2 = spmm_segsum(g, x)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_tiles_scan_row_block_1(small_graph):
+    from maxk_tpu.ops.spmm_xla import spmm_tiles_scan
+
+    g = with_norm(small_graph, "right")
+    x = _x(small_graph)
+    tiles = build_edge_tiles(g, 1, 16)
+    y1 = spmm_tiles_scan(tiles, x, chunk=13)
+    y2 = spmm_segsum(g, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-4, atol=1e-4)
