@@ -58,22 +58,15 @@ def main():
     from maxk_tpu.sparse.meta import build_edge_tiles_device
 
     backend = jax.default_backend()
-    has_pallas = False
-    try:
-        from maxk_tpu.ops.spmm_pallas import spmm_pallas  # noqa: F401
-
-        has_pallas = backend == "tpu"
-    except ImportError:
-        pass
-
+    on_tpu = backend == "tpu"
     scale = args.scale
     if scale == 0.0:
-        # full scale only when the Pallas path exists; XLA fallbacks OOM
-        # at E~115M with (E, D) intermediates
-        scale = 1.0 if has_pallas else 0.02
+        # tiles_scan is memory-bounded, so full reddit scale fits on one
+        # chip; CPU CI keeps a small slice
+        scale = 1.0 if on_tpu else 0.02
     mode = args.mode
     if mode == "auto":
-        mode = "pallas" if has_pallas else "segsum"
+        mode = "tiles_scan" if on_tpu else "segsum"
     log(f"backend={backend} mode={mode} scale={scale} "
         f"latency={roundtrip_latency()*1e3:.0f}ms")
 
