@@ -32,13 +32,25 @@ from maxk_tpu.sparse.graph import Graph
 class _AggMixin:
     def _aggregate(self, graph: Graph, x, cbsr: Optional[CBSR]):
         if cbsr is not None:
-            return maxk_spgemm(
-                graph,
-                cbsr,
-                dim=x.shape[-1],
-                mode=self.kernel_mode,
-                compute_dtype=self.compute_dtype,
-            )
+            from maxk_tpu.parallel.shard import ShardedGraph
+
+            if isinstance(graph, ShardedGraph):
+                # sharded: the compressed-CBSR all_gather path (V·k over
+                # ICI instead of V·D) needs the explicit custom-VJP op
+                return maxk_spgemm(
+                    graph,
+                    cbsr,
+                    dim=x.shape[-1],
+                    mode=self.kernel_mode,
+                    compute_dtype=self.compute_dtype,
+                )
+            # single-device: x IS densify(cbsr) (computed once by the
+            # model); spmm's VJP is Aᵀ and densify's VJP is the compact
+            # (V,k) sampler, so plain autodiff already gives the
+            # SSpMM-backward with O(V·k) residuals — no second densify
+        if self.compute_dtype is not None:
+            y = spmm(graph, x.astype(self.compute_dtype), mode=self.kernel_mode)
+            return y.astype(x.dtype)
         return spmm(graph, x, mode=self.kernel_mode)
 
 

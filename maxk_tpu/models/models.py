@@ -41,12 +41,17 @@ class _GNNBase(nn.Module):
     compute_dtype: Optional[jnp.dtype] = None
 
     def _nonlinear(self, x):
-        """Returns (activated_dense, cbsr_or_None)."""
+        """Returns (activated_dense, cbsr_or_None). The densify here is
+        the ONLY expansion per layer (layers reuse it for both fc_self
+        and aggregation); its VJP samples compactly at the selectors."""
         if self.nonlinear == "maxk":
             from maxk_tpu.ops.topk_pallas import maxk_cbsr_fast
 
             cbsr = maxk_cbsr_fast(x, self.maxk)
-            return cbsr_densify(cbsr, x.shape[-1]), cbsr
+            dense = cbsr_densify(
+                cbsr, x.shape[-1], onehot_dtype=self.compute_dtype
+            )
+            return dense, cbsr
         return nn.relu(x), None
 
 

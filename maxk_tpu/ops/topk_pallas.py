@@ -125,12 +125,11 @@ def _topk_fwd(x, k):
 def _topk_bwd(k, res, cts):
     sel, d = res
     g_vals, _ = cts
-    # scatter-free: one-hot contraction back to (V, D)
-    oh = (
-        sel[:, :, None]
-        == jax.lax.broadcasted_iota(jnp.int32, sel.shape + (d,), 2)
-    ).astype(g_vals.dtype)
-    gx = jnp.einsum("vk,vkd->vd", g_vals, oh, precision="highest")
+    # scatter-free expansion back to (V, D) — cbsr_densify IS this
+    # contraction, blocked so no (V, k, D) one-hot materializes at once
+    from maxk_tpu.sparse.cbsr import cbsr_densify
+
+    gx = cbsr_densify(CBSR(values=g_vals, selector=sel), d)
     return (gx,)
 
 

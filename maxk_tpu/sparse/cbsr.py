@@ -73,17 +73,29 @@ def _onehot_f(sel: jax.Array, dim: int, dtype) -> jax.Array:
     return (sel[..., None] == iota).astype(dtype)
 
 
-def cbsr_densify(cbsr: CBSR, dim: int, block_rows: int = 4096) -> jax.Array:
+def cbsr_densify(
+    cbsr: CBSR, dim: int, block_rows: int = 4096, onehot_dtype=None
+) -> jax.Array:
     """CBSR → dense (V, dim). Scatter-free: blocked one-hot contraction.
 
     Equivalent of `prepare_cbsr_format_maxk`'s inverse / the densified
     copy the reference builds for its cuSPARSE baseline
-    (`kernels/main.cu:135-146`).
+    (`kernels/main.cu:135-146`). The (block, k, dim) one-hot is the
+    traffic; `onehot_dtype=jnp.bfloat16` halves it (0/1 values are exact
+    in bf16; the contraction still accumulates in the values dtype).
     """
     v = cbsr.num_rows
+    odt = onehot_dtype or cbsr.values.dtype
+    prec = "highest" if odt == cbsr.values.dtype else None
+
+    def contract(bv, bs):
+        oh = _onehot_f(bs, dim, odt)
+        return jnp.einsum("vk,vkd->vd", bv.astype(odt), oh, precision=prec).astype(
+            cbsr.values.dtype
+        )
+
     if v <= block_rows:
-        oh = _onehot_f(cbsr.selector, dim, cbsr.values.dtype)
-        return jnp.einsum("vk,vkd->vd", cbsr.values, oh, precision="highest")
+        return contract(cbsr.values, cbsr.selector)
     # pad rows to a multiple of block_rows, scan over blocks
     nb = -(-v // block_rows)
     pad = nb * block_rows - v
@@ -91,13 +103,7 @@ def cbsr_densify(cbsr: CBSR, dim: int, block_rows: int = 4096) -> jax.Array:
     sel = jnp.pad(cbsr.selector, ((0, pad), (0, 0)))
     vals = vals.reshape(nb, block_rows, -1)
     sel = sel.reshape(nb, block_rows, -1)
-
-    def blk(args):
-        bv, bs = args
-        oh = _onehot_f(bs, dim, bv.dtype)
-        return jnp.einsum("vk,vkd->vd", bv, oh, precision="highest")
-
-    out = jax.lax.map(blk, (vals, sel))
+    out = jax.lax.map(lambda a: contract(*a), (vals, sel))
     return out.reshape(nb * block_rows, dim)[:v]
 
 
