@@ -50,19 +50,29 @@ def roundtrip_latency() -> float:
     return _LATENCY
 
 
-def timeit(fn, *args, iters=16, warmup=2):
+def timeit(fn, *args, iters=16, warmup=2, min_total=None):
     """Per-call device time: `iters` queued calls + one sync, minus the
-    tunnel roundtrip."""
+    tunnel roundtrip. If the measured total is within noise of the
+    roundtrip itself, re-measures with enough iterations to dominate it
+    (tiny kernels would otherwise read as ~0)."""
     lat = roundtrip_latency()
+    if min_total is None:
+        min_total = 4 * lat
     out = None
     for _ in range(warmup):
         out = fn(*args)
     _sync(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    _sync(out)
-    return max((time.perf_counter() - t0 - lat) / iters, 1e-9)
+    while True:
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        _sync(out)
+        total = time.perf_counter() - t0
+        if total - lat >= min_total or iters >= 4096:
+            return max((total - lat) / iters, 1e-9)
+        # scale iteration count to clearly dominate the roundtrip
+        per = max((total - lat) / iters, 1e-6)
+        iters = min(4096, max(iters * 2, int(min_total / per) + 1))
 
 
 def _rand(shape, dtype=jnp.float32, seed=0):
