@@ -60,7 +60,12 @@ def main(argv=None):
     e_target = max(int(spec.num_edges * args.scale), 256)
     g = with_norm(rmat_graph_device(v, e_target, seed=123), "none")
     e_real = int(np.asarray(jnp.sum(g.values != 0)))
-    graph = Graph(csr=g, csc=g)
+    tiles = None
+    if args.mode in ("pallas", "tiles_xla", "tiles_scan"):
+        from maxk_tpu.sparse.meta import build_edge_tiles_device
+
+        tiles = build_edge_tiles_device(g)
+    graph = Graph(csr=g, csc=g, tiles=tiles, tiles_t=tiles)
     log(f"{args.graph} x{args.scale}: V={v} E(live)={e_real} dim={args.dim}")
 
     key = jax.random.PRNGKey(123)
