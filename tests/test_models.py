@@ -78,3 +78,22 @@ def test_maxk_full_k_equals_relu_on_positive(small_graph):
     vs = model.init({"params": rng, "dropout": rng}, graph, x, train=False)
     out = model.apply(vs, graph, x, train=False)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_layer_agg_path_equals_explicit_spgemm(small_graph):
+    """The single-device layer path (spmm on the shared densified input)
+    must equal the explicit maxk_spgemm op (used by bench + sharded)."""
+    import jax.numpy as jnp
+
+    from maxk_tpu.ops.spgemm import maxk_spgemm, spmm
+    from maxk_tpu.sparse.cbsr import cbsr_densify, maxk_cbsr
+    from maxk_tpu.sparse.graph import build_graph
+
+    graph = build_graph(small_graph, norm="right", build_tiles=False)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((small_graph.num_nodes, 64)), jnp.float32)
+    cbsr = maxk_cbsr(x, 8)
+    dense = cbsr_densify(cbsr, 64)
+    y1 = spmm(graph, dense, mode="segsum")
+    y2 = maxk_spgemm(graph, cbsr, dim=64, mode="segsum")
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-5, atol=1e-5)
