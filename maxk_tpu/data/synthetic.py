@@ -73,7 +73,7 @@ def planted_partition_data(
     seed: int = 123,
     multilabel: bool = False,
     homophily: float = 0.8,
-    feat_snr: float = 1.0,
+    feat_snr: float = 0.5,
 ):
     """Features/labels with learnable graph-correlated signal.
 

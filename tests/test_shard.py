@@ -175,3 +175,34 @@ def test_sharded_tiles_matches_single(small_graph):
     np.testing.assert_allclose(
         np.asarray(gx_sh)[:v], np.asarray(gx1), rtol=1e-4, atol=1e-4
     )
+
+
+@pytest.mark.parametrize("model_name", ["gcn", "gin"])
+def test_sharded_training_other_models(tiny_data, model_name):
+    mesh = make_mesh(N_DEV)
+    cfg = TrainConfig(
+        dataset="tiny",
+        model=model_name,
+        epochs=15,
+        lr=0.02,
+        hidden_dim=32,
+        hidden_layers=2,
+        maxk=8,
+        dropout=0.0,
+        kernel_mode="segsum",
+    )
+    model, variables, opt_state, sgraph, arrays = sharded_setup(
+        cfg, tiny_data, mesh
+    )
+    tx = _tx(cfg)
+    train_step = make_sharded_train_step(model, tx, False, mesh)
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(cfg.epochs):
+        rng, srng = jax.random.split(rng)
+        variables, opt_state, loss, _ = train_step(
+            variables, opt_state, srng, sgraph,
+            arrays["feats"], arrays["labels"], arrays["train"],
+        )
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], (model_name, losses[:2], losses[-2:])

@@ -43,7 +43,7 @@ def test_relu_baseline_trains(tiny_data):
 
 @pytest.mark.parametrize("model", ["gcn", "gin"])
 def test_other_models_train(tiny_data, model):
-    state = train(_cfg(model=model, epochs=20, lr=0.02), tiny_data)
+    state = train(_cfg(model=model, epochs=40, lr=0.02, norm=True), tiny_data)
     assert state.best_val > 0.4, (model, state.best_val)
 
 
