@@ -155,15 +155,15 @@ def _maxk_spgemm(dim, mode, compute_dtype, graph, vals, sel):
 
 def _maxk_spgemm_fwd(dim, mode, compute_dtype, graph, vals, sel):
     y = _maxk_spgemm(dim, mode, compute_dtype, graph, vals, sel)
-    return y, (graph, sel)
+    return y, (graph, sel, vals.dtype)
 
 
 def _maxk_spgemm_bwd(dim, mode, compute_dtype, res, g):
-    graph, sel = res
+    graph, sel, vals_dtype = res
     if compute_dtype is not None:
         g = g.astype(compute_dtype)
     z = _spmm_impl(graph, g, KernelMode(mode), transpose=True)
-    dvals = cbsr_sample(z, sel).astype(jnp.float32)
+    dvals = cbsr_sample(z, sel).astype(vals_dtype)
     return (
         _zero_cotangent(graph),
         dvals,
