@@ -155,15 +155,17 @@ def _maxk_spgemm(dim, mode, compute_dtype, graph, vals, sel):
 
 def _maxk_spgemm_fwd(dim, mode, compute_dtype, graph, vals, sel):
     y = _maxk_spgemm(dim, mode, compute_dtype, graph, vals, sel)
-    return y, (graph, sel, vals.dtype)
+    # zero-size residual carries the primal values dtype (residual trees
+    # must hold arrays, not dtypes)
+    return y, (graph, sel, jnp.zeros((0,), vals.dtype))
 
 
 def _maxk_spgemm_bwd(dim, mode, compute_dtype, res, g):
-    graph, sel, vals_dtype = res
+    graph, sel, vals_proto = res
     if compute_dtype is not None:
         g = g.astype(compute_dtype)
     z = _spmm_impl(graph, g, KernelMode(mode), transpose=True)
-    dvals = cbsr_sample(z, sel).astype(vals_dtype)
+    dvals = cbsr_sample(z, sel).astype(vals_proto.dtype)
     return (
         _zero_cotangent(graph),
         dvals,
