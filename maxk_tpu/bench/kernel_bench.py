@@ -139,6 +139,16 @@ def main(argv=None):
             jax.jit(lambda g_, x: spmm(g_, x, mode=mode)), graph, x_dense, iters=4
         )
         print(f"{n} {name} {args.dim} - cusparse_role {t_base*1e3:.4f}")
+        # bf16 baseline arm: like-for-like dtype with the maxk path
+        t_base16 = timeit(
+            jax.jit(
+                lambda g_, x: spmm(g_, x.astype(jnp.bfloat16), mode=mode)
+            ),
+            graph,
+            x_dense,
+            iters=4,
+        )
+        print(f"{n} {name} {args.dim} - cusparse_role_bf16 {t_base16*1e3:.4f}")
         for k in args.k:
             vals = jax.jit(
                 lambda: jax.random.normal(jax.random.fold_in(key, k), (v, k))
@@ -181,6 +191,7 @@ def main(argv=None):
                 "t_fwd_ms": t_fwd * 1e3,
                 "t_fwd_bwd_ms": t_fb * 1e3,
                 "t_baseline_ms": t_base * 1e3,
+                "t_baseline_bf16_ms": t_base16 * 1e3,
                 "fwd_gnnz_s": e_real / t_fwd / 1e9,
                 "speedup_vs_baseline": t_base / t_fwd,
             }

@@ -83,8 +83,14 @@ def _spmm_impl(graph: Graph, x: jax.Array, mode: KernelMode, transpose: bool):
     tiles = graph.tiles_t if transpose else graph.tiles
     mode = resolve_mode(mode, tiles is not None)
     if mode == KernelMode.PALLAS:
-        from maxk_tpu.ops.spmm_pallas import spmm_pallas
-
+        try:
+            from maxk_tpu.ops.spmm_pallas import spmm_pallas
+        except ImportError as e:
+            raise NotImplementedError(
+                "The Pallas panel-slab SpMM kernel is the round-2 design "
+                "(docs/PERF.md §3: VMEM-resident X slab across grid steps); "
+                "use kernel_mode='tiles_scan' (current production path)."
+            ) from e
         return spmm_pallas(tiles, x)
     if mode == KernelMode.TILES_XLA:
         return spmm_tiles_xla(tiles, x)
