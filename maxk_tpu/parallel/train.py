@@ -9,7 +9,6 @@ psum and the gradient psum that make the step SPMD-correct.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, Tuple
 
 import jax
@@ -76,8 +75,6 @@ def make_sharded_train_step(model, tx, multilabel: bool, mesh: Mesh):
 
 
 def make_sharded_eval_step(model, multilabel: bool, mesh: Mesh, metric: str = "f1"):
-    from maxk_tpu.train.metrics import compute_micro_f1
-
     axis = GRAPH_AXIS
 
     def local_eval(variables, sgraph, feats, labels, masks):
