@@ -177,3 +177,30 @@ def test_device_rmat_valid_csr():
         (np.asarray(gn.values)[:nnz], cols, indptr), shape=(300, 300)
     ).sum(1).A1
     np.testing.assert_allclose(sums, 1.0, rtol=1e-5)
+
+
+def test_reorder_rcm_preserves_spmm(small_graph):
+    """RCM-permuted SpMM equals permuted original output."""
+    from maxk_tpu.ops.spmm_xla import spmm_segsum
+    from maxk_tpu.sparse.csr import reorder_rcm
+
+    g2, perm = reorder_rcm(small_graph)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(
+        rng.standard_normal((small_graph.num_nodes, 16)), jnp.float32
+    )
+    y = np.asarray(spmm_segsum(small_graph, x))
+    y2 = np.asarray(spmm_segsum(g2, x[perm]))
+    np.testing.assert_allclose(y2, y[perm], rtol=1e-4, atol=1e-4)
+    # bandwidth actually reduced (column spread within rows shrinks)
+    def mean_span(g):
+        ip = np.asarray(g.indptr)
+        ix = np.asarray(g.indices)
+        spans = [
+            np.ptp(ix[ip[r] : ip[r + 1]])
+            for r in range(g.num_nodes)
+            if ip[r + 1] - ip[r] > 1
+        ]
+        return np.mean(spans)
+
+    assert mean_span(g2) < mean_span(small_graph)
