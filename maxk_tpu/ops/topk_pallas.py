@@ -137,8 +137,18 @@ topk_cbsr_pallas.defvjp(_topk_fwd, _topk_bwd)
 
 
 def maxk_cbsr_fast(x: jax.Array, k: int) -> CBSR:
-    """CBSR via the Pallas kernel on TPU, lax.top_k elsewhere."""
-    if jax.default_backend() == "tpu" and x.ndim == 2:
+    """CBSR via the Pallas kernel on TPU, lax.top_k elsewhere.
+
+    MAXK_TPU_DISABLE_PALLAS=1 forces the lax.top_k path — needed when
+    tracing for non-TPU devices while the default backend is TPU (e.g.
+    the virtual-CPU-mesh dry run)."""
+    import os
+
+    if (
+        jax.default_backend() == "tpu"
+        and x.ndim == 2
+        and not os.environ.get("MAXK_TPU_DISABLE_PALLAS")
+    ):
         vals, sel = topk_cbsr_pallas(x, k)
         return CBSR(values=vals, selector=sel)
     from maxk_tpu.sparse.cbsr import maxk_cbsr
