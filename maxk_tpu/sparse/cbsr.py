@@ -85,6 +85,11 @@ def cbsr_densify(
     in bf16; the contraction still accumulates in the values dtype).
     """
     v = cbsr.num_rows
+    from maxk_tpu.ops.cbsr_pallas import densify_pallas, pallas_cbsr_available
+
+    if pallas_cbsr_available():
+        # fused VMEM kernel: no (block, k, dim) one-hot HBM round trip
+        return densify_pallas(cbsr.values, cbsr.selector, dim)
     odt = onehot_dtype or cbsr.values.dtype
     prec = "highest" if odt == cbsr.values.dtype else None
 
@@ -115,4 +120,8 @@ def cbsr_sample(z: jax.Array, selector: jax.Array) -> jax.Array:
     sampling per *edge*; on TPU we run the dense `A^T @ dY` on the MXU and
     sample per *row* (V·k·D ≪ E·k·D work).
     """
+    from maxk_tpu.ops.cbsr_pallas import pallas_cbsr_available, sample_pallas
+
+    if pallas_cbsr_available() and z.ndim == 2:
+        return sample_pallas(z, selector)
     return jnp.take_along_axis(z, selector, axis=1)
