@@ -80,3 +80,13 @@ def test_micro_bench_importable():
     from maxk_tpu.bench import micro
 
     assert callable(micro.timeit)
+
+
+def test_graph_check_cli(capsys):
+    from maxk_tpu.data.check import main
+
+    report = main(["--dataset", "flickr", "--scale", "0.005"])
+    assert report["symmetric_structure"] and report["symmetric_values"]
+    assert report["self_loop_complete"]
+    assert report["backward_needs_transpose"] is False
+    assert report["num_edges"] > 0
