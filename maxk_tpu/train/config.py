@@ -52,12 +52,25 @@ class TrainConfig:
         return "\n".join(lines)
 
     def validate(self) -> None:
-        assert self.model in ("sage", "gcn", "gin", "gnn_res"), self.model
-        assert self.nonlinear in ("maxk", "relu"), self.nonlinear
-        assert 1 <= self.maxk <= self.hidden_dim, (self.maxk, self.hidden_dim)
-        assert self.kernel_mode in (
-            "auto", "pallas", "tiles_xla", "tiles_scan", "segsum",
-        )
+        if self.model not in ("sage", "gcn", "gin", "gnn_res"):
+            raise ValueError(
+                f"--model must be one of sage|gcn|gin|gnn_res, got {self.model!r}"
+            )
+        if self.nonlinear not in ("maxk", "relu"):
+            raise ValueError(
+                f"--nonlinear must be maxk|relu, got {self.nonlinear!r}"
+            )
+        if not 1 <= self.maxk <= self.hidden_dim:
+            raise ValueError(
+                f"--maxk must be in [1, hidden_dim={self.hidden_dim}], "
+                f"got {self.maxk}"
+            )
+        modes = ("auto", "pallas", "tiles_xla", "tiles_scan", "segsum")
+        if self.kernel_mode not in modes:
+            raise ValueError(
+                f"--kernel_mode must be one of {'|'.join(modes)}, "
+                f"got {self.kernel_mode!r}"
+            )
 
 
 def parse_args(argv=None) -> TrainConfig:
