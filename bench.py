@@ -78,13 +78,16 @@ def main():
     e_real = int(np.asarray(jnp.sum(g.values != 0)))
     log(f"graph {args.graph} x{scale}: V={v} E={g.nnz} (live {e_real})")
 
+    from maxk_tpu.sparse.csr import csr_transpose_device
+
+    # right-norm breaks value symmetry even on symmetric structure, so the
+    # backward (A^T) arm gets a real device transpose + its own schedule
+    gt = csr_transpose_device(g)
     tiles = tiles_t = None
     if mode in ("pallas", "tiles_xla", "tiles_scan"):
         tiles = build_edge_tiles_device(g)
-        tiles_t = tiles  # symmetric graph with right-norm is NOT symmetric
-        # in values, but benchmark forward only uses `tiles`; backward
-        # timing below uses the same schedule shape (structure symmetric)
-    graph = Graph(csr=g, csc=g, tiles=tiles, tiles_t=tiles_t)
+        tiles_t = build_edge_tiles_device(gt)
+    graph = Graph(csr=g, csc=gt, tiles=tiles, tiles_t=tiles_t)
 
     v_pad = v
     k, dim = args.k, args.dim

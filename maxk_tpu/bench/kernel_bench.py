@@ -107,14 +107,11 @@ def main(argv=None):
     from maxk_tpu.sparse.graph import Graph
     from maxk_tpu.sparse.meta import build_edge_tiles_device
 
-    mode = args.mode
-    if mode == "auto":
-        try:
-            from maxk_tpu.ops.spmm_pallas import spmm_pallas  # noqa: F401
+    # mode selection delegates to the production dispatch rule so default
+    # suite invocations benchmark what training actually runs
+    from maxk_tpu.ops.dispatch import resolve_mode
 
-            mode = "pallas" if jax.default_backend() == "tpu" else "segsum"
-        except ImportError:
-            mode = "segsum"
+    mode = resolve_mode(args.mode, has_tiles=True).value
 
     results = []
     n = 0

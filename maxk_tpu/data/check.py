@@ -19,7 +19,7 @@ import numpy as np
 
 
 def check_graph(csr) -> dict:
-    from maxk_tpu.sparse.csr import csr_to_scipy
+    from maxk_tpu.sparse.csr import csr_to_scipy, with_norm
 
     m = csr_to_scipy(csr)
     v = m.shape[0]
@@ -37,9 +37,16 @@ def check_graph(csr) -> dict:
         "symmetric_values": bool(asym.nnz == 0 or float(asym.max()) < 1e-6),
         "self_loops": int((diag != 0).sum()),
         "self_loop_complete": bool(np.all(diag != 0)),
-        "backward_needs_transpose": None,  # filled below
     }
-    report["backward_needs_transpose"] = not report["symmetric_values"]
+    # the question that matters is per NORM MODE: right-norm breaks value
+    # symmetry on symmetric structure, so report what `build_graph`'s
+    # symmetric=None autodetect decides for each mode (same criterion)
+    needs_t = {}
+    for mode in ("none", "right", "left", "both"):
+        mn = csr_to_scipy(with_norm(csr, mode))
+        d = abs(mn - mn.T)
+        needs_t[mode] = not (d.nnz == 0 or float(d.max()) < 1e-6)
+    report["backward_needs_transpose"] = needs_t
     return report
 
 

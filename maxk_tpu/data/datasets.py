@@ -85,6 +85,25 @@ def load_dataset(name: str, scale: float = 1.0, seed: int = 123) -> GraphData:
             csr, spec.feat_dim, spec.num_classes, seed=seed,
             multilabel=spec.multilabel,
         )
+        if name == "ogbn-proteins":
+            # the proteins regime has EDGE features only; node features
+            # are the incident-edge sum (`utils/proteins_loader.py:42-44`).
+            # Color synthetic edge features by their endpoints' community
+            # features so the task stays learnable through the pathway.
+            import numpy as _np
+
+            from maxk_tpu.data.proteins import node_features_from_edges
+
+            rows = _np.asarray(csr.row_ids())
+            cols = _np.asarray(csr.indices)
+            rng = _np.random.default_rng(seed + 1)
+            edge_feats = 0.5 * (feats[rows] + feats[cols]) + 0.25 * rng.standard_normal(
+                (csr.nnz, spec.feat_dim)
+            ).astype(np.float32)
+            deg = _np.maximum(_np.diff(_np.asarray(csr.indptr)), 1)
+            feats = _np.asarray(
+                node_features_from_edges(csr, edge_feats.astype(np.float32))
+            ) / deg[:, None]
     return GraphData(
         name=name,
         csr=csr,

@@ -36,7 +36,14 @@ class _AggMixin:
 
             if isinstance(graph, ShardedGraph):
                 # sharded: the compressed-CBSR all_gather path (V·k over
-                # ICI instead of V·D) needs the explicit custom-VJP op
+                # ICI instead of V·D) needs the explicit custom-VJP op.
+                # Resample values from x so post-densify transforms (the
+                # model's dropout) reach the aggregation, matching the
+                # single-device path; with no dropout this is exactly
+                # cbsr.values again (x == densify(cbsr)).
+                from maxk_tpu.sparse.cbsr import cbsr_sample
+
+                cbsr = cbsr.replace(values=cbsr_sample(x, cbsr.selector))
                 return maxk_spgemm(
                     graph,
                     cbsr,

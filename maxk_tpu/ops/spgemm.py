@@ -81,7 +81,16 @@ def _spmm_impl(graph: Graph, x: jax.Array, mode: KernelMode, transpose: bool):
         return _sharded_spmm(graph, x, transpose)
     csr = graph.csc if transpose else graph.csr
     tiles = graph.tiles_t if transpose else graph.tiles
-    mode = resolve_mode(mode, tiles is not None)
+    mode = resolve_mode(mode, tiles is not None, graph.hybrid is not None)
+    if mode == KernelMode.HYBRID:
+        if graph.hybrid is None:
+            raise ValueError(
+                "kernel_mode='hybrid' needs a graph built with "
+                "build_graph(hybrid=True) (undirected graphs only)"
+            )
+        from maxk_tpu.ops.spmm_hybrid import spmm_hybrid
+
+        return spmm_hybrid(graph.hybrid, x, transpose=transpose)
     if mode == KernelMode.PALLAS:
         try:
             from maxk_tpu.ops.spmm_pallas import spmm_pallas

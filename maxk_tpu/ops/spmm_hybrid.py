@@ -1,0 +1,54 @@
+"""Symmetric-strip hybrid SpMM — dense-MXU aggregation over a
+`HybridSchedule` (see `maxk_tpu.sparse.hybrid` for the decomposition).
+
+    Y = post ⊙ ( W @ xh  +  1_{rows<S}(W^T @ xs − W[:S] @ xh)
+                 + tail_scan(xs) ),   xs = pre ⊙ x,  xh = xs[:S]
+
+Role of the reference's forward kernel (`kernels/spmm_maxk.cu:17-106`)
+AND its backward (`spmm_maxk_backward.cu:15-115`): the operator core S is
+value-symmetric, so A^T = D_pre S D_post is the same computation with the
+diagonal scales swapped — `transpose=True` is free, and under jax
+autodiff the whole thing differentiates natively (every piece is dense
+XLA or the differentiable tile-scan).
+
+Everything is static-shaped; the three matmuls run in the strip dtype
+(bf16 by default) with f32 accumulation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from maxk_tpu.ops.spmm_xla import spmm_tiles_scan
+from maxk_tpu.sparse.hybrid import HybridSchedule
+
+
+def spmm_hybrid(
+    h: HybridSchedule, x: jax.Array, transpose: bool = False
+) -> jax.Array:
+    """y = A @ x (or A^T @ x) via the symmetric-strip decomposition."""
+    v = h.num_nodes
+    s = h.s_cols
+    pre, post = (h.post, h.pre) if transpose else (h.pre, h.post)
+    xs = x * pre[:, None].astype(x.dtype)
+
+    xc = xs.astype(h.strip.dtype)
+    vp = h.padded_nodes
+    if vp != v:
+        xc = jnp.pad(xc, ((0, vp - v), (0, 0)))
+    xh = xc[:s]
+
+    # hub-columns arm: all rows × cols<S
+    y = jnp.dot(h.strip, xh, preferred_element_type=jnp.float32)
+    # hub-rows arm minus corner double-count: rows<S × all cols
+    yh = (
+        jnp.einsum("vs,vd->sd", h.strip, xc, preferred_element_type=jnp.float32)
+        - jnp.dot(h.strip[:s], xh, preferred_element_type=jnp.float32)
+    )
+    y = jax.lax.dynamic_update_slice(y, y[:s] + yh, (0, 0))
+    y = y[:v]
+
+    # tail arm: rows≥S × cols≥S leftover edges on the gather path
+    y = y + spmm_tiles_scan(h.tail_tiles, xs).astype(jnp.float32)
+    return (y * post[:, None]).astype(x.dtype)

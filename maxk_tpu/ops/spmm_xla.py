@@ -44,11 +44,18 @@ def spmm_tiles_xla(tiles: EdgeTiles, x: jax.Array) -> jax.Array:
     gathered = x[tiles.cols]  # (NT, T, D)
     weighted = gathered * tiles.vals[..., None].astype(x.dtype)
     onehot = jax.nn.one_hot(tiles.localrow, r, dtype=x.dtype)  # (NT, T, R)
-    partial = jnp.einsum("ntr,ntd->nrd", onehot, weighted, precision="highest")
+    # cross-tile accumulation stays f32 even under bf16 compute
+    partial = jnp.einsum(
+        "ntr,ntd->nrd",
+        onehot,
+        weighted,
+        precision="highest",
+        preferred_element_type=jnp.float32,
+    )
     out = jax.ops.segment_sum(
         partial, tiles.block, num_segments=nb, indices_are_sorted=True
     )
-    return out.reshape(nb * r, -1)[: tiles.num_nodes]
+    return out.reshape(nb * r, -1)[: tiles.num_nodes].astype(x.dtype)
 
 
 def spmm_tiles_scan(
@@ -87,16 +94,24 @@ def spmm_tiles_scan(
     lrow = lrow.reshape(nc, chunk, t)
 
     def partial_of(c, v, lr):
+        # chunk-window matmuls may run in x.dtype (MXU), but the partial
+        # handed to the cross-chunk accumulator is always f32 — bf16
+        # accumulation over high-degree rows (reddit ~490) loses bits
         gathered = x[c]  # (chunk, T, D)
         if r == 1:
             # one tile == one row: the reduction is a weighted sum — no
             # (chunk, T, R) one-hot materialization at all
             return jnp.einsum(
-                "ct,ctd->cd", v.astype(x.dtype), gathered
+                "ct,ctd->cd",
+                v.astype(x.dtype),
+                gathered,
+                preferred_element_type=jnp.float32,
             )[:, None, :]
         weighted = gathered * v[..., None].astype(x.dtype)
         onehot = jax.nn.one_hot(lr, r, dtype=x.dtype)  # (chunk, T, R)
-        return jnp.einsum("ctr,ctd->crd", onehot, weighted)
+        return jnp.einsum(
+            "ctr,ctd->crd", onehot, weighted, preferred_element_type=jnp.float32
+        )
 
     if accumulate == "scatter":
 
@@ -104,27 +119,28 @@ def spmm_tiles_scan(
             b, c, v, lr = inp
             return acc.at[b].add(partial_of(c, v, lr)), None
 
-        acc = jnp.zeros((nb, r, d), dtype=x.dtype)
+        acc = jnp.zeros((nb, r, d), dtype=jnp.float32)
         acc, _ = jax.lax.scan(step, acc, (blocks, cols, vals, lrow))
-        return acc.reshape(nb * r, d)[: tiles.num_nodes]
+        return acc.reshape(nb * r, d)[: tiles.num_nodes].astype(x.dtype)
 
     def step(acc, inp):
         b, c, v, lr = inp
-        partial = partial_of(c, v, lr)  # (chunk, R, D)
+        partial = partial_of(c, v, lr)  # (chunk, R, D) f32
         b0 = b[0]
         rel = b - b0  # ascending, in [0, chunk)
         seg_oh = (
             rel[None, :]
             == jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
-        ).astype(x.dtype)
+        ).astype(jnp.float32)
         win = (seg_oh @ partial.reshape(chunk, r * d)).reshape(chunk, r, d)
         cur = jax.lax.dynamic_slice(acc, (b0, 0, 0), (chunk, r, d))
         return jax.lax.dynamic_update_slice(acc, cur + win, (b0, 0, 0)), None
 
-    # pad the accumulator so the chunk window never clamps at the end
-    acc = jnp.zeros((nb + chunk, r, d), dtype=x.dtype)
+    # pad the accumulator so the chunk window never clamps at the end;
+    # accumulator is f32 regardless of compute dtype
+    acc = jnp.zeros((nb + chunk, r, d), dtype=jnp.float32)
     acc, _ = jax.lax.scan(step, acc, (blocks, cols, vals, lrow))
-    return acc.reshape((nb + chunk) * r, d)[: tiles.num_nodes]
+    return acc.reshape((nb + chunk) * r, d)[: tiles.num_nodes].astype(x.dtype)
 
 
 def spmm_dense(g: CSRGraph, x: jax.Array) -> jax.Array:

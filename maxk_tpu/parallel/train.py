@@ -79,6 +79,18 @@ def make_sharded_eval_step(model, multilabel: bool, mesh: Mesh, metric: str = "f
 
     def local_eval(variables, sgraph, feats, labels, masks):
         logits = model.apply(variables, sgraph, feats, train=False)
+        if metric == "rocauc":
+            # rank-based ROC-AUC needs global ranks: gather the (small)
+            # logits/labels/mask rows and reuse the single-device metric
+            # (ogbn-proteins: V×112 ≈ 50 MB gathered — fine per eval)
+            from maxk_tpu.train.metrics import rocauc
+
+            lg = jax.lax.all_gather(logits, axis, tiled=True)
+            lb = jax.lax.all_gather(labels, axis, tiled=True)
+            return tuple(
+                rocauc(lg, lb, jax.lax.all_gather(m, axis, tiled=True))
+                for m in masks
+            )
         out = []
         for m in masks:
             w = m.astype(jnp.float32)
@@ -108,7 +120,7 @@ def make_sharded_eval_step(model, multilabel: bool, mesh: Mesh, metric: str = "f
 
 def sharded_setup(
     cfg: TrainConfig, data: GraphData, mesh: Mesh
-) -> Tuple[Any, Dict[str, Any], Any, ShardedGraph, Dict[str, jax.Array]]:
+) -> Tuple[Any, Dict[str, Any], Any, ShardedGraph, Dict[str, jax.Array], Any]:
     """Build (model, variables, opt_state, sharded graph, device arrays).
 
     Arrays are placed with NamedShardings so the jitted shard_map step
@@ -124,10 +136,18 @@ def sharded_setup(
         nonlinear=cfg.nonlinear,
         dropout=cfg.dropout,
         norm=cfg.norm,
-        kernel_mode="segsum",
+        kernel_mode=cfg.kernel_mode,
         compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None,
     )
-    sgraph = build_sharded_graph(data.csr, n, norm=gnorm)
+    build_tiles = cfg.kernel_mode in ("auto", "pallas", "tiles_xla", "tiles_scan")
+    sgraph = build_sharded_graph(
+        data.csr,
+        n,
+        norm=gnorm,
+        build_tiles=build_tiles,
+        row_block=cfg.row_block,
+        edge_tile=cfg.edge_tile,
+    )
 
     row = NamedSharding(mesh, P(GRAPH_AXIS))
     rep = NamedSharding(mesh, P())
@@ -154,20 +174,19 @@ def sharded_setup(
     # only on feature widths, and ops with a ShardedGraph need bound axis
     # names (shard_map), which model.init doesn't have
     from maxk_tpu.sparse.csr import CSRGraph
-    from maxk_tpu.sparse.graph import Graph
+    from maxk_tpu.sparse.graph import build_graph as _build_graph
 
     nv = 16
-    eye = Graph(
-        csr=CSRGraph(
+    # tiles built too so any explicit tiles_* kernel_mode can init
+    eye = _build_graph(
+        CSRGraph(
             indptr=jnp.arange(nv + 1, dtype=jnp.int32),
             indices=jnp.arange(nv, dtype=jnp.int32),
             values=jnp.ones((nv,), jnp.float32),
         ),
-        csc=CSRGraph(
-            indptr=jnp.arange(nv + 1, dtype=jnp.int32),
-            indices=jnp.arange(nv, dtype=jnp.int32),
-            values=jnp.ones((nv,), jnp.float32),
-        ),
+        norm="none",
+        build_tiles=True,
+        symmetric=True,
     )
     rng = jax.random.PRNGKey(cfg.seed)
     with jax.default_device(jax.devices()[0]):
@@ -183,4 +202,4 @@ def sharded_setup(
     )
     opt_state = jax.device_put(tx.init(variables["params"]), rep)
     arrays = {"feats": feats, "labels": labels, **masks}
-    return model, dict(variables), opt_state, sgraph, arrays
+    return model, dict(variables), opt_state, sgraph, arrays, tx

@@ -121,6 +121,36 @@ def csr_transpose(g: CSRGraph) -> CSRGraph:
     )
 
 
+def csr_transpose_device(g: CSRGraph) -> CSRGraph:
+    """On-device CSR → CSR-of-A^T (jit, static shapes).
+
+    Device twin of `csr_transpose` for graphs that live on the TPU
+    (device-generated benchmarks; uploads run ~MB/s here). Dead entries
+    (the inert weight-0 dedup tail past `indptr[-1]`) are re-sorted to
+    the tail of the transpose with values 0, preserving the invariant.
+    """
+    n = g.num_nodes
+
+    @jax.jit
+    def t(indptr, indices, values):
+        e = indices.shape[0]
+        ar = jnp.arange(e, dtype=jnp.int32)
+        rows = (
+            jnp.searchsorted(indptr, ar, side="right").astype(jnp.int32) - 1
+        )
+        live = ar < indptr[-1]
+        tr = jnp.where(live, indices, n).astype(jnp.int32)
+        tc = jnp.where(live, jnp.clip(rows, 0, n - 1), n).astype(jnp.int32)
+        tr, tc, tv = jax.lax.sort((tr, tc, values), num_keys=2)
+        new_indptr = jnp.searchsorted(
+            tr, jnp.arange(n + 1, dtype=jnp.int32)
+        ).astype(jnp.int32)
+        return new_indptr, tc, jnp.where(tr < n, tv, 0.0)
+
+    indptr, indices, values = t(g.indptr, g.indices, g.values)
+    return CSRGraph(indptr=indptr, indices=indices, values=values)
+
+
 def with_norm(g: CSRGraph, mode: str = "right") -> CSRGraph:
     """Fold degree normalization into edge values.
 

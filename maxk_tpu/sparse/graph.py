@@ -30,6 +30,10 @@ class Graph:
     csc: CSRGraph  # CSR of A^T (== csr for symmetric A with symmetric norm)
     tiles: Optional[EdgeTiles] = None  # forward schedule
     tiles_t: Optional[EdgeTiles] = None  # backward (A^T) schedule
+    # degree-sorted symmetric-strip schedule (ops/spmm_hybrid); when set,
+    # csr/tiles are in PERMUTED node space and `perm` maps new→old ids
+    hybrid: Optional["HybridSchedule"] = None  # noqa: F821
+    perm: Optional[object] = None  # (V,) int32 new→old node ids (pytree leaf)
 
     @property
     def num_nodes(self) -> int:
@@ -47,13 +51,38 @@ def build_graph(
     symmetric: Optional[bool] = None,
     row_block: int = ROW_BLOCK,
     edge_tile: int = EDGE_TILE,
+    hybrid: bool = False,
+    strip_cols: int = 16384,
 ) -> Graph:
     """Build the operator bundle. `norm` folds degree normalization into edge
     values (see `maxk_tpu.sparse.csr.with_norm`).
 
     symmetric=None autodetects A == A^T *after normalization* (true for
     "none"/"both" on undirected graphs) and shares arrays when possible.
+
+    With `hybrid=True` (and a raw-value-symmetric graph) the nodes are
+    permuted by descending degree and the symmetric-strip schedule is
+    built (`sparse/hybrid.py`); the returned Graph is entirely in
+    permuted space and carries `perm` so callers can permute node data
+    (`features[perm]` etc.). Falls back silently for directed graphs.
     """
+    hyb = None
+    perm = None
+    if hybrid:
+        from maxk_tpu.sparse.hybrid import (
+            build_hybrid,
+            check_hybrid_ok,
+            degree_perm,
+            permute_csr,
+        )
+
+        if check_hybrid_ok(csr):
+            perm = degree_perm(csr)
+            csr = permute_csr(csr, perm)
+            hyb = build_hybrid(
+                csr, s_cols=strip_cols, norm=norm,
+                row_block=row_block, edge_tile=edge_tile,
+            )
     g = with_norm(csr, norm)
     gt = csr_transpose(g)
     if symmetric is None:
@@ -66,4 +95,4 @@ def build_graph(
     if build_tiles:
         tiles = build_edge_tiles(g, row_block, edge_tile)
         tiles_t = tiles if symmetric else build_edge_tiles(gt, row_block, edge_tile)
-    return Graph(csr=g, csc=gt, tiles=tiles, tiles_t=tiles_t)
+    return Graph(csr=g, csc=gt, tiles=tiles, tiles_t=tiles_t, hybrid=hyb, perm=perm)

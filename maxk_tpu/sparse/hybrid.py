@@ -1,0 +1,295 @@
+"""Degree-sorted symmetric-strip hybrid schedule — the round-2 MXU SpMM.
+
+The reference's aggregation kernel streams E edges through per-warp
+scatter loops (`/root/reference/kernels/spmm_maxk.cu:17-106`); on this
+TPU any per-edge random access costs ~9 ns (docs/PERF.md gather wall),
+so reddit-scale SpMM is ~1 s no matter how the edges are scheduled. The
+hybrid instead reshapes the problem so ~93% of edges ride dense MXU
+matmuls and only a small tail ever touches the gather path:
+
+  1. nodes are permuted by descending live degree (hubs first). Measured
+     on reddit-scale R-MAT: columns [0,16K) then hold ~70% of edges, and
+     rows<16K ∪ cols<16K hold ~93.4% (bench/probe notes, PERF.md).
+  2. every reference training graph is undirected, so the normalized
+     adjacency factors as A = D_post · S · D_pre with S VALUE-SYMMETRIC
+     (raw weights + self loops); the op computes
+     Y = post ⊙ (S @ (pre ⊙ x)) and A^T just swaps the scales.
+  3. S splits into three statically-shaped parts:
+       strip  W = S[:, :S_cols]   materialized DENSE (bf16, (Vp, S));
+                                  symmetric ⇒ S[:S_cols, :] = W^T, so one
+                                  array serves hub-columns (W @ x_hub),
+                                  hub-rows (W^T @ x) and the corner
+                                  double-count correction (−W[:S] @ x_hub)
+       tail   rows≥S ∧ cols≥S     edge tiles for the gather path (~7% E)
+  4. aggregation = 3 dense matmuls + one small tile-scan; everything is
+     plain differentiable XLA (the VJP of a symmetric operator is itself,
+     so no custom_vjp and no CSC/warp4_csc twin is ever needed — the bug
+     class of `generate_meta_csc.py` / `spgemmfunction_v3.py` vanishes).
+
+Schedules are built twice: numpy host (tests, real binaries) and pure-jnp
+device (benchmark graphs are generated on device; the tunnel uploads at
+~2 MB/s and a reddit strip is ~7 GB).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from maxk_tpu.sparse.csr import CSRGraph
+from maxk_tpu.sparse.meta import (
+    EDGE_TILE,
+    ROW_BLOCK,
+    EdgeTiles,
+    build_edge_tiles,
+    build_edge_tiles_device,
+)
+
+STRIP_COLS = 16384  # default hub-strip width (probe-tuned for reddit)
+
+
+@struct.dataclass
+class HybridSchedule:
+    """Materialized symmetric-strip decomposition of one graph.
+
+    strip:      (Vp, S) strip dtype   W = S[:, :S] (raw symmetric values)
+    pre/post:   (V,)    f32           diagonal norm factors (none → ones)
+    tail_tiles: EdgeTiles             rows≥S ∧ cols≥S remainder
+    """
+
+    strip: jax.Array
+    pre: jax.Array
+    post: jax.Array
+    tail_tiles: EdgeTiles
+    num_nodes: int = struct.field(pytree_node=False, default=0)
+    s_cols: int = struct.field(pytree_node=False, default=STRIP_COLS)
+
+    @property
+    def padded_nodes(self) -> int:
+        return self.strip.shape[0]
+
+
+def degree_perm(csr: CSRGraph) -> np.ndarray:
+    """Host: permutation sorting nodes by descending live degree."""
+    indptr = np.asarray(csr.indptr, dtype=np.int64)
+    deg = np.diff(indptr)
+    return np.argsort(-deg, kind="stable").astype(np.int32)
+
+
+def permute_csr(csr: CSRGraph, perm: np.ndarray) -> CSRGraph:
+    """Host: relabel nodes so new node i is old node perm[i]."""
+    import scipy.sparse as sp
+
+    from maxk_tpu.sparse.csr import csr_to_scipy
+
+    m = csr_to_scipy(csr).tocoo()
+    v = m.shape[0]
+    rank = np.empty(v, dtype=np.int64)
+    rank[perm] = np.arange(v)
+    out = sp.csr_matrix(
+        (m.data, (rank[m.row], rank[m.col])), shape=(v, v)
+    )
+    out.sort_indices()
+    return CSRGraph(
+        indptr=jnp.asarray(out.indptr.astype(np.int32)),
+        indices=jnp.asarray(out.indices.astype(np.int32)),
+        values=jnp.asarray(out.data.astype(np.float32)),
+    )
+
+
+def _scales(deg: jax.Array, norm: str) -> Tuple[jax.Array, jax.Array]:
+    ones = jnp.ones_like(deg)
+    d = jnp.maximum(deg, 1.0)
+    if norm == "none":
+        return ones, ones
+    if norm == "right":
+        return ones, 1.0 / d
+    if norm == "left":
+        return 1.0 / d, ones
+    if norm == "both":
+        inv = 1.0 / jnp.sqrt(d)
+        return inv, inv
+    raise ValueError(f"unknown norm mode: {norm}")
+
+
+def check_hybrid_ok(csr: CSRGraph, tol: float = 1e-6) -> bool:
+    """Host: the hybrid needs raw value symmetry (undirected graph)."""
+    from maxk_tpu.sparse.csr import csr_to_scipy
+
+    m = csr_to_scipy(csr)
+    d = abs(m - m.T)
+    return d.nnz == 0 or float(d.max()) < tol
+
+
+def build_hybrid(
+    csr: CSRGraph,
+    s_cols: int = STRIP_COLS,
+    norm: str = "none",
+    strip_dtype=jnp.bfloat16,
+    row_block: int = ROW_BLOCK,
+    edge_tile: int = EDGE_TILE,
+) -> HybridSchedule:
+    """Host (numpy) build. `csr` must already be degree-permuted
+    (`permute_csr(csr, degree_perm(csr))`) and RAW-value-symmetric; `norm`
+    only sets the diagonal scales."""
+    indptr = np.asarray(csr.indptr, dtype=np.int64)
+    nnz = int(indptr[-1])
+    v = csr.num_nodes
+    s = min(s_cols, v)
+    s = max(128, (s // 128) * 128) if v >= 128 else v
+    cols = np.asarray(csr.indices, dtype=np.int64)[:nnz]
+    vals = np.asarray(csr.values, dtype=np.float32)[:nnz]
+    rows = np.repeat(np.arange(v, dtype=np.int64), np.diff(indptr))
+
+    vp = -(-v // 128) * 128
+    live = vals != 0
+    in_strip = (cols < s) & live
+    strip = np.zeros((vp, s), dtype=np.float32)
+    strip[rows[in_strip], cols[in_strip]] = vals[in_strip]
+
+    in_tail = (cols >= s) & (rows >= s) & live
+    tail = _subgraph_host(v, rows[in_tail], cols[in_tail], vals[in_tail])
+    tail_tiles = build_edge_tiles(tail, row_block, edge_tile)
+
+    deg = jax.ops.segment_sum(
+        jnp.asarray(live.astype(np.float32)),
+        jnp.asarray(rows.astype(np.int32)),
+        num_segments=v,
+    )
+    pre, post = _scales(deg, norm)
+    return HybridSchedule(
+        strip=jnp.asarray(strip).astype(strip_dtype),
+        pre=pre,
+        post=post,
+        tail_tiles=tail_tiles,
+        num_nodes=v,
+        s_cols=s,
+    )
+
+
+def _subgraph_host(v, rows, cols, vals) -> CSRGraph:
+    order = np.lexsort((cols, rows))
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    indptr = np.searchsorted(rows, np.arange(v + 1)).astype(np.int32)
+    return CSRGraph(
+        indptr=jnp.asarray(indptr),
+        indices=jnp.asarray(cols.astype(np.int32)),
+        values=jnp.asarray(vals.astype(np.float32)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# device builders (benchmark path: everything stays on the TPU)
+# ---------------------------------------------------------------------------
+
+
+def degree_perm_device(csr: CSRGraph) -> jax.Array:
+    @jax.jit
+    def p(indptr):
+        deg = indptr[1:] - indptr[:-1]
+        return jnp.argsort(-deg, stable=True).astype(jnp.int32)
+
+    return p(csr.indptr)
+
+
+def permute_csr_device(csr: CSRGraph, perm: jax.Array) -> CSRGraph:
+    """Device twin of `permute_csr`; keeps the inert dead tail invariant
+    (dead entries re-sorted past row V with value 0)."""
+    v = csr.num_nodes
+
+    @jax.jit
+    def p(indptr, indices, values, perm):
+        e = indices.shape[0]
+        ar = jnp.arange(e, dtype=jnp.int32)
+        rows = jnp.searchsorted(indptr, ar, side="right").astype(jnp.int32) - 1
+        live = ar < indptr[-1]
+        rank = jnp.zeros((v,), jnp.int32).at[perm].set(
+            jnp.arange(v, dtype=jnp.int32)
+        )
+        nr = jnp.where(live, rank[jnp.clip(rows, 0, v - 1)], v)
+        nc = jnp.where(live, rank[indices], v)
+        nr, nc, nv = jax.lax.sort((nr, nc, values), num_keys=2)
+        new_indptr = jnp.searchsorted(
+            nr, jnp.arange(v + 1, dtype=jnp.int32)
+        ).astype(jnp.int32)
+        return new_indptr, nc, jnp.where(nr < v, nv, 0.0)
+
+    indptr, indices, values = p(csr.indptr, csr.indices, csr.values, perm)
+    return CSRGraph(indptr=indptr, indices=indices, values=values)
+
+
+def build_hybrid_device(
+    csr: CSRGraph,
+    s_cols: int = STRIP_COLS,
+    norm: str = "none",
+    strip_dtype=jnp.bfloat16,
+    row_block: int = ROW_BLOCK,
+    edge_tile: int = EDGE_TILE,
+) -> HybridSchedule:
+    """On-device build (jit; one-time per graph). Same semantics as
+    `build_hybrid`."""
+    v = csr.num_nodes
+    s = min(s_cols, v)
+    s = max(128, (s // 128) * 128) if v >= 128 else v
+    vp = -(-v // 128) * 128
+
+    @jax.jit
+    def split(indptr, indices, values):
+        e = indices.shape[0]
+        ar = jnp.arange(e, dtype=jnp.int32)
+        rows = jnp.searchsorted(indptr, ar, side="right").astype(jnp.int32) - 1
+        rows = jnp.clip(rows, 0, v - 1)
+        live = (ar < indptr[-1]) & (values != 0)
+        in_strip = live & (indices < s)
+        strip = (
+            jnp.zeros((vp, s), jnp.float32)
+            .at[jnp.where(in_strip, rows, vp - 1),
+                jnp.where(in_strip, indices, 0)]
+            .add(jnp.where(in_strip, values, 0.0))
+        )
+        deg = jax.ops.segment_sum(
+            live.astype(jnp.float32), rows, num_segments=v,
+            indices_are_sorted=True,
+        )
+        # tail: re-sort non-tail edges past row V (inert-tail trick)
+        in_tail = live & (indices >= s) & (rows >= s)
+        tr = jnp.where(in_tail, rows, v)
+        tc = jnp.where(in_tail, indices, v)
+        tr, tc, tv = jax.lax.sort((tr, tc, values), num_keys=2)
+        tail_indptr = jnp.searchsorted(
+            tr, jnp.arange(v + 1, dtype=jnp.int32)
+        ).astype(jnp.int32)
+        return (
+            strip.astype(strip_dtype),
+            deg,
+            tail_indptr,
+            jnp.where(tr < v, tc, 0).astype(jnp.int32),
+            jnp.where(tr < v, tv, 0.0),
+        )
+
+    strip, deg, tail_indptr, tail_cols, tail_vals = split(
+        csr.indptr, csr.indices, csr.values
+    )
+    # trim the tail arrays to the live tail (one scalar fetch) so the tile
+    # tables are sized for ~7% of E, not all of it
+    tl = int(np.asarray(tail_indptr[-1]))
+    tl_pad = max(-(-tl // edge_tile) * edge_tile, edge_tile)
+    tail = CSRGraph(
+        indptr=tail_indptr,
+        indices=tail_cols[:tl_pad],
+        values=tail_vals[:tl_pad],
+    )
+    tail_tiles = build_edge_tiles_device(tail, row_block, edge_tile)
+    pre, post = _scales(deg, norm)
+    return HybridSchedule(
+        strip=strip,
+        pre=pre,
+        post=post,
+        tail_tiles=tail_tiles,
+        num_nodes=v,
+        s_cols=s,
+    )

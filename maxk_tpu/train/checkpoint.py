@@ -41,6 +41,21 @@ def save_checkpoint(
     return path
 
 
+def save_best(directory: str, payload: Dict[str, Any]) -> str:
+    """Overwrite `directory/best` with the current payload — called on
+    every val improvement, not just periodic-checkpoint boundaries (the
+    reference's best.pth.tar copy done right)."""
+    directory = os.path.abspath(directory)
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, "best")
+    ckptr = ocp.StandardCheckpointer()
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    ckptr.save(path, payload)
+    ckptr.wait_until_finished()
+    return path
+
+
 def latest_checkpoint(directory: str) -> Optional[str]:
     if not os.path.isdir(directory):
         return None

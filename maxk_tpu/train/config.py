@@ -35,7 +35,7 @@ class TrainConfig:
     checkpoint_every: int = 0  # 0 = only final/best
     # kernel flags (reference: --use_maxk_kernels/--kernel_mode/…,
     # utils/config.py:60-81)
-    kernel_mode: str = "auto"  # auto | pallas | tiles_xla | tiles_scan | segsum
+    kernel_mode: str = "auto"  # auto | hybrid | pallas | tiles_xla | tiles_scan | segsum
     compute_dtype: str = ""  # "" | bfloat16
     validate_kernels: bool = False
     profile_kernels: bool = False
@@ -65,7 +65,7 @@ class TrainConfig:
                 f"--maxk must be in [1, hidden_dim={self.hidden_dim}], "
                 f"got {self.maxk}"
             )
-        modes = ("auto", "pallas", "tiles_xla", "tiles_scan", "segsum")
+        modes = ("auto", "hybrid", "pallas", "tiles_xla", "tiles_scan", "segsum")
         if self.kernel_mode not in modes:
             raise ValueError(
                 f"--kernel_mode must be one of {'|'.join(modes)}, "

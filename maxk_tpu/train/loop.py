@@ -48,6 +48,25 @@ def _loss_fn(logits, labels, mask, multilabel: bool):
     return (per * w).sum() / jnp.maximum(w.sum(), 1.0)
 
 
+def permuted_data(data: GraphData, graph: Graph) -> GraphData:
+    """Hybrid graphs live in degree-permuted node space: permute every
+    per-node array to match (metrics/masks are permutation-invariant).
+    Identity when the graph carries no permutation."""
+    if graph.perm is None:
+        return data
+    from dataclasses import replace
+
+    perm = np.asarray(graph.perm)
+    return replace(
+        data,
+        features=np.asarray(data.features)[perm],
+        labels=np.asarray(data.labels)[perm],
+        train_mask=np.asarray(data.train_mask)[perm],
+        val_mask=np.asarray(data.val_mask)[perm],
+        test_mask=np.asarray(data.test_mask)[perm],
+    )
+
+
 def setup(cfg: TrainConfig, data: GraphData) -> TrainState:
     model, gnorm = build_model(
         cfg.model,
@@ -68,7 +87,9 @@ def setup(cfg: TrainConfig, data: GraphData) -> TrainState:
         build_tiles=build_tiles,
         row_block=cfg.row_block,
         edge_tile=cfg.edge_tile,
+        hybrid=cfg.kernel_mode == "hybrid",
     )
+    data = permuted_data(data, graph)
     rng = jax.random.PRNGKey(cfg.seed)
     feats = jnp.asarray(data.features)
     variables = model.init(
@@ -140,6 +161,7 @@ def make_eval_step(model, multilabel: bool, metric: str = "f1"):
 def evaluate(state: TrainState, data: GraphData, metric: Optional[str] = None):
     metric = metric or ("rocauc" if data.name == "ogbn-proteins" else "f1")
     eval_step = make_eval_step(state.model, data.multilabel, metric)
+    data = permuted_data(data, state.graph)
     feats = jnp.asarray(data.features)
     labels = jnp.asarray(data.labels)
     masks = (
@@ -148,6 +170,16 @@ def evaluate(state: TrainState, data: GraphData, metric: Optional[str] = None):
         jnp.asarray(data.test_mask),
     )
     return tuple(float(x) for x in eval_step(state.variables, state.graph, feats, labels, masks))
+
+
+def _ckpt_payload(state: TrainState, epoch: int) -> Dict[str, Any]:
+    return {
+        "variables": state.variables,
+        "opt_state": state.opt_state,
+        "epoch": epoch,
+        "best_val": state.best_val,
+        "best_test": state.best_test,
+    }
 
 
 def train(
@@ -173,15 +205,19 @@ def train(
 
         path = latest_checkpoint(checkpoint_dir)
         if path:
+            # full variables (incl. batch_stats for gnn_res) round-trip;
+            # the RNG needs no payload entry because per-epoch keys are
+            # fold_in(base, epoch) — resuming at epoch N replays the
+            # exact dropout stream of an uninterrupted run
             payload = {
-                "params": state.variables["params"],
+                "variables": state.variables,
                 "opt_state": state.opt_state,
                 "epoch": 0,
                 "best_val": 0.0,
                 "best_test": 0.0,
             }
             restored = restore_checkpoint(path, payload)
-            state.variables["params"] = restored["params"]
+            state.variables = restored["variables"]
             state.opt_state = restored["opt_state"]
             start_epoch = int(restored["epoch"]) + 1
             state.best_val = float(restored["best_val"])
@@ -209,6 +245,7 @@ def train(
         if not ok:
             raise RuntimeError(f"kernel validation failed: {detail}")
 
+    data = permuted_data(data, state.graph)
     feats = jnp.asarray(data.features)
     labels = jnp.asarray(data.labels)
     tmask = jnp.asarray(data.train_mask)
@@ -226,7 +263,7 @@ def train(
         )
 
     for epoch in range(start_epoch, cfg.epochs):
-        state.rng, step_rng = jax.random.split(state.rng)
+        step_rng = jax.random.fold_in(state.rng, epoch)
         t0 = time.perf_counter()
         state.variables, state.opt_state, loss, _ = train_step(
             state.variables, state.opt_state, step_rng, state.graph,
@@ -245,8 +282,13 @@ def train(
                 )
         tr, va, te = eval_step(state.variables, state.graph, feats, labels, masks)
         tr, va, te = float(tr), float(va), float(te)
-        if va > state.best_val:
+        improved = va > state.best_val
+        if improved:
             state.best_val, state.best_test = va, te
+            if checkpoint_dir and cfg.checkpoint_every > 0:
+                from maxk_tpu.train.checkpoint import save_best
+
+                save_best(checkpoint_dir, _ckpt_payload(state, epoch))
         if writer is not None:
             writer.add_scalar("loss", float(loss), epoch)
             writer.add_scalar("train_acc", tr, epoch)
@@ -264,16 +306,7 @@ def train(
             from maxk_tpu.train.checkpoint import save_checkpoint
 
             save_checkpoint(
-                checkpoint_dir,
-                {
-                    "params": state.variables["params"],
-                    "opt_state": state.opt_state,
-                    "epoch": epoch,
-                    "best_val": state.best_val,
-                    "best_test": state.best_test,
-                },
-                step=epoch,
-                is_best=va >= state.best_val,
+                checkpoint_dir, _ckpt_payload(state, epoch), step=epoch
             )
     if state.epoch_times:
         log(

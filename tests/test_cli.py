@@ -88,5 +88,9 @@ def test_graph_check_cli(capsys):
     report = main(["--dataset", "flickr", "--scale", "0.005"])
     assert report["symmetric_structure"] and report["symmetric_values"]
     assert report["self_loop_complete"]
-    assert report["backward_needs_transpose"] is False
+    # per-norm-mode report matching build_graph's autodetect: symmetric
+    # norms stay symmetric, right/left norm breaks value symmetry
+    nt = report["backward_needs_transpose"]
+    assert nt["none"] is False and nt["both"] is False
+    assert nt["right"] is True and nt["left"] is True
     assert report["num_edges"] > 0

@@ -1,0 +1,161 @@
+"""Symmetric-strip hybrid SpMM: exact parity with the oracle paths.
+
+The hybrid decomposition (sparse/hybrid.py, ops/spmm_hybrid.py) must
+reproduce the normalized SpMM for every norm mode, forward and
+transpose, through autodiff, on host- and device-built schedules, and
+end-to-end through training — the validation bar the reference sets for
+its kernels (`direct_kernel_interface.py:221-372`) plus gradient checks.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from maxk_tpu.data.synthetic import rmat_graph
+from maxk_tpu.ops.spgemm import maxk_spgemm, spmm
+from maxk_tpu.ops.spmm_hybrid import spmm_hybrid
+from maxk_tpu.ops.spmm_xla import spmm_segsum
+from maxk_tpu.sparse.cbsr import maxk_cbsr
+from maxk_tpu.sparse.csr import csr_transpose, with_norm
+from maxk_tpu.sparse.graph import build_graph
+from maxk_tpu.sparse.hybrid import (
+    build_hybrid,
+    build_hybrid_device,
+    check_hybrid_ok,
+    degree_perm,
+    degree_perm_device,
+    permute_csr,
+    permute_csr_device,
+)
+
+D = 64
+S = 128  # strip narrower than V so the tail arm is exercised
+
+
+def _graph(v=400, e=3000, seed=11):
+    return rmat_graph(v, e, seed=seed)
+
+
+def _x(v, d=D, seed=3):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.standard_normal((v, d)), jnp.float32)
+
+
+@pytest.mark.parametrize("norm", ["none", "right", "left", "both"])
+def test_hybrid_matches_segsum(norm):
+    csr = _graph()
+    perm = degree_perm(csr)
+    pcsr = permute_csr(csr, perm)
+    h = build_hybrid(pcsr, s_cols=S, norm=norm, strip_dtype=jnp.float32)
+    x = _x(csr.num_nodes)
+    y = spmm_hybrid(h, x)
+    ref = spmm_segsum(with_norm(pcsr, norm), x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=2e-4)
+
+
+@pytest.mark.parametrize("norm", ["right", "both"])
+def test_hybrid_transpose_matches_segsum_transpose(norm):
+    csr = _graph(seed=12)
+    pcsr = permute_csr(csr, degree_perm(csr))
+    h = build_hybrid(pcsr, s_cols=S, norm=norm, strip_dtype=jnp.float32)
+    x = _x(csr.num_nodes, seed=5)
+    y = spmm_hybrid(h, x, transpose=True)
+    gt = csr_transpose(with_norm(pcsr, norm))
+    ref = spmm_segsum(gt, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=2e-4)
+
+
+def test_hybrid_autodiff_matches_oracle_grad():
+    csr = _graph(seed=13)
+    pcsr = permute_csr(csr, degree_perm(csr))
+    h = build_hybrid(pcsr, s_cols=S, norm="right", strip_dtype=jnp.float32)
+    gn = with_norm(pcsr, "right")
+    x = _x(csr.num_nodes, seed=6)
+    ct = _x(csr.num_nodes, seed=7)
+
+    g1 = jax.grad(lambda x_: jnp.vdot(spmm_hybrid(h, x_), ct))(x)
+    g2 = jax.grad(lambda x_: jnp.vdot(spmm_segsum(gn, x_), ct))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-4)
+
+
+def test_device_build_matches_host_build():
+    csr = _graph(seed=14)
+    pd = degree_perm_device(csr)
+    ph = degree_perm(csr)
+    # degrees tie often; permutations may differ but degree sequences match
+    deg = np.diff(np.asarray(csr.indptr))
+    np.testing.assert_array_equal(deg[np.asarray(pd)], deg[ph])
+
+    pcsr_h = permute_csr(csr, ph)
+    pcsr_d = permute_csr_device(csr, jnp.asarray(ph))
+    hh = build_hybrid(pcsr_h, s_cols=S, norm="both", strip_dtype=jnp.float32)
+    hd = build_hybrid_device(pcsr_d, s_cols=S, norm="both", strip_dtype=jnp.float32)
+    x = _x(csr.num_nodes, seed=8)
+    np.testing.assert_allclose(
+        np.asarray(spmm_hybrid(hh, x)),
+        np.asarray(spmm_hybrid(hd, x)),
+        atol=2e-4,
+    )
+
+
+def test_build_graph_hybrid_spmm_and_maxk_modes():
+    csr = _graph(seed=15)
+    g = build_graph(csr, norm="right", hybrid=True, strip_cols=S)
+    assert g.hybrid is not None and g.perm is not None
+    x = _x(csr.num_nodes, seed=9)
+    y = spmm(g, x, mode="hybrid")
+    ref = spmm_segsum(g.csr, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-2)
+
+    # resolve_mode: auto prefers hybrid when the schedule exists
+    y2 = spmm(g, x, mode="auto")
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y), atol=1e-6)
+
+    cbsr = maxk_cbsr(x, 8)
+    ym = maxk_spgemm(g, cbsr, dim=D, mode="hybrid")
+    from maxk_tpu.sparse.cbsr import cbsr_densify
+
+    refm = spmm_segsum(g.csr, cbsr_densify(cbsr, D))
+    np.testing.assert_allclose(np.asarray(ym), np.asarray(refm), atol=1e-2)
+
+    # compact-gradient path through the custom VJP
+    ct = _x(csr.num_nodes, seed=10)
+    gv = jax.grad(
+        lambda v: jnp.vdot(
+            maxk_spgemm(g, cbsr.replace(values=v), dim=D, mode="hybrid"), ct
+        )
+    )(cbsr.values)
+    gv_ref = jax.grad(
+        lambda v: jnp.vdot(
+            spmm_segsum(g.csr, cbsr_densify(cbsr.replace(values=v), D)), ct
+        )
+    )(cbsr.values)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(gv_ref), atol=1e-2)
+
+
+def test_hybrid_rejects_directed_graph():
+    from maxk_tpu.sparse.csr import CSRGraph
+
+    # a 3-node directed chain: 0→1→2 (no reverse edges)
+    csr = CSRGraph(
+        indptr=jnp.asarray([0, 1, 2, 2], jnp.int32),
+        indices=jnp.asarray([1, 2], jnp.int32),
+        values=jnp.ones((2,), jnp.float32),
+    )
+    assert not check_hybrid_ok(csr)
+    g = build_graph(csr, norm="none", hybrid=True)
+    assert g.hybrid is None  # silent fallback, op dispatch stays valid
+
+
+def test_training_with_hybrid_mode(tiny_data):
+    from maxk_tpu.train.config import TrainConfig
+    from maxk_tpu.train.loop import train
+
+    cfg = TrainConfig(
+        dataset="tiny", model="sage", epochs=30, hidden_dim=32,
+        hidden_layers=2, maxk=8, dropout=0.0, kernel_mode="hybrid",
+        lr=0.01, seed=0,
+    )
+    state = train(cfg, tiny_data)
+    assert state.best_val > 0.5, state.best_val

@@ -112,10 +112,9 @@ def test_sharded_training_learns(tiny_data):
         dropout=0.0,
         kernel_mode="segsum",
     )
-    model, variables, opt_state, sgraph, arrays = sharded_setup(
+    model, variables, opt_state, sgraph, arrays, tx = sharded_setup(
         cfg, tiny_data, mesh
     )
-    tx = _tx(cfg)
     train_step = make_sharded_train_step(model, tx, False, mesh)
     eval_step = make_sharded_eval_step(model, False, mesh)
     rng = jax.random.PRNGKey(0)
@@ -133,12 +132,6 @@ def test_sharded_training_learns(tiny_data):
     )
     assert losses[-1] < losses[0] * 0.7, losses[:3] + losses[-3:]
     assert float(va) > 0.5, float(va)
-
-
-def _tx(cfg):
-    from maxk_tpu.train.optim import build_optimizer
-
-    return build_optimizer(cfg.lr, cfg.weight_decay, cfg.enable_lookahead)
 
 
 def test_sharded_tiles_matches_single(small_graph):
@@ -191,10 +184,9 @@ def test_sharded_training_other_models(tiny_data, model_name):
         dropout=0.0,
         kernel_mode="segsum",
     )
-    model, variables, opt_state, sgraph, arrays = sharded_setup(
+    model, variables, opt_state, sgraph, arrays, tx = sharded_setup(
         cfg, tiny_data, mesh
     )
-    tx = _tx(cfg)
     train_step = make_sharded_train_step(model, tx, False, mesh)
     rng = jax.random.PRNGKey(0)
     losses = []
@@ -206,3 +198,43 @@ def test_sharded_training_other_models(tiny_data, model_name):
         )
         losses.append(float(loss))
     assert losses[-1] < losses[0], (model_name, losses[:2], losses[-2:])
+
+
+def test_sharded_agg_uses_post_densify_transform(small_graph):
+    """The compact sharded path must aggregate the POST-dropout features:
+    layers resample CBSR values from x before maxk_spgemm, so transforms
+    applied after densify (the model's dropout) reach the aggregation —
+    matching single-device semantics."""
+    from maxk_tpu.models.layers import _AggMixin
+    from maxk_tpu.sparse.cbsr import CBSR
+
+    mesh = make_mesh(N_DEV)
+    sgraph = build_sharded_graph(small_graph, N_DEV, norm="right")
+    g1 = build_graph(small_graph, norm="right", build_tiles=False)
+    v = small_graph.num_nodes
+    rng = np.random.default_rng(3)
+    x0 = jnp.asarray(rng.standard_normal((v, D)).astype(np.float32))
+    cbsr = maxk_cbsr(x0, 8)
+    xd = cbsr_densify(cbsr, D)
+    # a post-densify transform standing in for dropout (deterministic)
+    keep = jnp.asarray((rng.random((v, D)) > 0.5).astype(np.float32))
+    xdrop = xd * keep * 2.0
+
+    ref = spmm(g1, xdrop, mode="segsum")
+
+    class _Layer:
+        kernel_mode = "segsum"
+        compute_dtype = None
+
+    agg = _AggMixin._aggregate.__get__(_Layer())
+    out = _sharded_apply(
+        mesh,
+        sgraph,
+        lambda g, xx, vv, ss: agg(g, xx, CBSR(values=vv, selector=ss)),
+        jnp.asarray(shard_rows(np.asarray(xdrop), N_DEV)),
+        jnp.asarray(shard_rows(np.asarray(cbsr.values), N_DEV)),
+        jnp.asarray(shard_rows(np.asarray(cbsr.selector), N_DEV)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out)[:v], np.asarray(ref), atol=1e-4
+    )

@@ -156,6 +156,42 @@ def test_checkpoint_resume_midtraining(tmp_path, tiny_data):
     assert "best" in names
 
 
+class _Recorder:
+    def __init__(self):
+        self.scalars = {}
+
+    def add_scalar(self, tag, value, step):
+        self.scalars.setdefault(tag, {})[step] = float(value)
+
+    def add_text(self, *a):
+        pass
+
+
+def test_resume_matches_uninterrupted_run(tmp_path, tiny_data):
+    """A resumed run must replay the exact loss trajectory of an
+    uninterrupted one (per-epoch fold_in RNG + full-variables +
+    opt_state round-trip) — with dropout active."""
+    from maxk_tpu.train.loop import train
+
+    def cfg(epochs, ck=0):
+        return _cfg(epochs=epochs, checkpoint_every=ck, dropout=0.3)
+
+    wa = _Recorder()
+    train(cfg(8), tiny_data, writer=wa)
+
+    wb1 = _Recorder()
+    train(cfg(4, ck=2), tiny_data, writer=wb1, checkpoint_dir=str(tmp_path))
+    wb2 = _Recorder()
+    train(cfg(8, ck=2), tiny_data, writer=wb2, checkpoint_dir=str(tmp_path))
+
+    # resumed epochs 4..7 must match the uninterrupted run's losses
+    for e in range(4, 8):
+        assert e in wb2.scalars["loss"], "run B did not resume at epoch 4"
+        np.testing.assert_allclose(
+            wb2.scalars["loss"][e], wa.scalars["loss"][e], rtol=1e-6
+        )
+
+
 def test_multilabel_training(tiny_data):
     """yelp/proteins regime: multilabel BCE + micro-F1 path end-to-end."""
     import numpy as np

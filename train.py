@@ -47,20 +47,22 @@ def run_single(cfg, data, logger, writer, exp):
     from maxk_tpu.train.loop import evaluate, setup, train
 
     if cfg.evaluate:
+        from maxk_tpu.train.loop import _ckpt_payload
+
         state = setup(cfg, data)
-        payload = {"params": state.variables["params"]}
-        restored = restore_checkpoint(cfg.evaluate, payload)
-        state.variables["params"] = restored["params"]
+        # restore FULL variables (incl. batch_stats for gnn_res), not
+        # just params — eval with empty batch_stats would be garbage
+        restored = restore_checkpoint(cfg.evaluate, _ckpt_payload(state, 0))
+        state.variables = restored["variables"]
         tr, va, te = evaluate(state, data)
         logger.info(f"eval-only: train {tr:.4f} val {va:.4f} test {te:.4f}")
         return
     state = train(cfg, data, logger, writer, checkpoint_dir=exp)
     if cfg.save_model:
+        from maxk_tpu.train.loop import _ckpt_payload
+
         save_checkpoint(
-            exp,
-            {"params": state.variables["params"]},
-            step=cfg.epochs,
-            is_best=True,
+            exp, _ckpt_payload(state, cfg.epochs - 1), step=cfg.epochs, is_best=True
         )
         logger.info(f"saved model to {exp}")
 
@@ -76,20 +78,21 @@ def run_sharded(cfg, data, logger, writer):
         make_sharded_train_step,
         sharded_setup,
     )
-    from maxk_tpu.train.optim import build_optimizer
-
     mesh = make_mesh(cfg.mesh_shape)
     logger.info(f"mesh: {mesh}")
-    model, variables, opt_state, sgraph, arrays = sharded_setup(cfg, data, mesh)
-    tx = build_optimizer(cfg.lr, cfg.weight_decay, cfg.enable_lookahead)
-    opt_state = tx.init(variables["params"])
+    model, variables, opt_state, sgraph, arrays, tx = sharded_setup(
+        cfg, data, mesh
+    )
+    metric = "rocauc" if data.name == "ogbn-proteins" else "f1"
     train_step = make_sharded_train_step(model, tx, data.multilabel, mesh)
-    eval_step = make_sharded_eval_step(model, data.multilabel, mesh)
+    eval_step = make_sharded_eval_step(model, data.multilabel, mesh, metric)
     rng = jax.random.PRNGKey(cfg.seed)
     best_val = best_test = 0.0
     times = []
     for epoch in range(cfg.epochs):
-        rng, srng = jax.random.split(rng)
+        # per-epoch key by fold-in (not split-chain) so a resumed run
+        # replays the identical stream from any epoch
+        srng = jax.random.fold_in(rng, epoch)
         t0 = time.perf_counter()
         variables, opt_state, loss, _ = train_step(
             variables, opt_state, srng, sgraph,
