@@ -66,7 +66,8 @@ def main():
         scale = 1.0 if on_tpu else 0.02
     mode = args.mode
     if mode == "auto":
-        mode = "tiles_scan" if on_tpu else "segsum"
+        # the production default (ops/dispatch): hybrid strips on TPU
+        mode = "hybrid" if on_tpu else "segsum"
     log(f"backend={backend} mode={mode} scale={scale} "
         f"latency={roundtrip_latency()*1e3:.0f}ms")
 
@@ -74,20 +75,32 @@ def main():
     v = max(int(spec.num_nodes * scale), 64)
     e_target = max(int(spec.num_edges * scale), 256)
     g = rmat_graph_device(v, e_target, seed=123)
-    g = with_norm(g, "right")
     e_real = int(np.asarray(jnp.sum(g.values != 0)))
     log(f"graph {args.graph} x{scale}: V={v} E={g.nnz} (live {e_real})")
 
     from maxk_tpu.sparse.csr import csr_transpose_device
 
+    hybrid = None
+    if mode == "hybrid":
+        from maxk_tpu.sparse.hybrid import (
+            build_hybrid_device,
+            degree_perm_device,
+            permute_csr_device,
+        )
+
+        g = permute_csr_device(g, degree_perm_device(g))
+        hybrid = build_hybrid_device(g, norm="right")
+        log(f"hybrid strip {hybrid.strip.shape} {hybrid.strip.dtype}")
+    g = with_norm(g, "right")
     # right-norm breaks value symmetry even on symmetric structure, so the
     # backward (A^T) arm gets a real device transpose + its own schedule
-    gt = csr_transpose_device(g)
+    # (the hybrid needs neither: its symmetric core self-transposes)
+    gt = g if mode == "hybrid" else csr_transpose_device(g)
     tiles = tiles_t = None
     if mode in ("pallas", "tiles_xla", "tiles_scan"):
         tiles = build_edge_tiles_device(g)
         tiles_t = build_edge_tiles_device(gt)
-    graph = Graph(csr=g, csc=gt, tiles=tiles, tiles_t=tiles_t)
+    graph = Graph(csr=g, csc=gt, tiles=tiles, tiles_t=tiles_t, hybrid=hybrid)
 
     v_pad = v
     k, dim = args.k, args.dim

@@ -108,14 +108,25 @@ def main(argv=None):
     from maxk_tpu.sparse.meta import build_edge_tiles_device
 
     # mode selection delegates to the production dispatch rule so default
-    # suite invocations benchmark what training actually runs
+    # suite invocations benchmark what training actually runs (the suite
+    # can always build the hybrid schedule for its synthetic graphs)
     from maxk_tpu.ops.dispatch import resolve_mode
 
-    mode = resolve_mode(args.mode, has_tiles=True).value
+    mode = resolve_mode(args.mode, has_tiles=True, has_hybrid=True).value
 
     results = []
     n = 0
     for name, g in load_suite(args):
+        hybrid = None
+        if mode == "hybrid":
+            from maxk_tpu.sparse.hybrid import (
+                build_hybrid_device,
+                degree_perm_device,
+                permute_csr_device,
+            )
+
+            g = permute_csr_device(g, degree_perm_device(g))
+            hybrid = build_hybrid_device(g, norm="right")
         g = with_norm(g, "right")
         e_real = int(np.asarray(jnp.sum(g.values != 0)))
         tiles = (
@@ -123,7 +134,7 @@ def main(argv=None):
             if mode in ("pallas", "tiles_xla", "tiles_scan")
             else None
         )
-        graph = Graph(csr=g, csc=g, tiles=tiles, tiles_t=tiles)
+        graph = Graph(csr=g, csc=g, tiles=tiles, tiles_t=tiles, hybrid=hybrid)
         v = g.num_nodes
         key = jax.random.PRNGKey(123)
         x_dense_f = jax.jit(

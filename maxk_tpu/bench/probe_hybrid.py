@@ -1,0 +1,131 @@
+"""Real-chip probe for the symmetric-strip hybrid SpMM (round-2 bring-up).
+
+Builds the hybrid schedule for a device-generated R-MAT graph, validates
+against the tile-scan path, and times the hybrid forward/arms.
+Usage: python -m maxk_tpu.bench.probe_hybrid [--scale 1.0] [--s 16384]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--graph", default="reddit")
+    p.add_argument("--scale", type=float, default=1.0)
+    p.add_argument("--s", type=int, default=16384)
+    p.add_argument("--dim", type=int, default=256)
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--norm", default="right")
+    p.add_argument("--validate", action="store_true", default=True)
+    p.add_argument("--no-validate", dest="validate", action="store_false")
+    p.add_argument("--tiles", action="store_true", help="also time tiles_scan")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.maxk_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from maxk_tpu.bench.micro import roundtrip_latency, timeit
+    from maxk_tpu.data.datasets import DATASETS
+    from maxk_tpu.data.device_gen import rmat_graph_device
+    from maxk_tpu.ops.spmm_hybrid import spmm_hybrid
+    from maxk_tpu.sparse.csr import with_norm
+    from maxk_tpu.sparse.hybrid import (
+        build_hybrid_device,
+        degree_perm_device,
+        permute_csr_device,
+    )
+
+    log(f"backend={jax.default_backend()} rtt={roundtrip_latency()*1e3:.0f}ms")
+    spec = DATASETS[args.graph]
+    v = max(int(spec.num_nodes * args.scale), 256)
+    e = max(int(spec.num_edges * args.scale), 1024)
+    t0 = time.time()
+    g = rmat_graph_device(v, e, seed=123)
+    live = int(jax.device_get(g.indptr[-1]))
+    log(f"graph: V={v} E={g.nnz} live={live}  ({time.time()-t0:.1f}s)")
+
+    t0 = time.time()
+    perm = degree_perm_device(g)
+    pg = permute_csr_device(g, perm)
+    jax.block_until_ready(pg.indices)
+    log(f"permute ({time.time()-t0:.1f}s)")
+    t0 = time.time()
+    dt = jnp.float32 if args.dtype == "float32" else jnp.bfloat16
+    h = build_hybrid_device(pg, s_cols=args.s, norm=args.norm, strip_dtype=dt)
+    tail_tiles = int(h.tail_tiles.block.shape[0])
+    log(
+        f"hybrid build ({time.time()-t0:.1f}s): strip {h.strip.shape} "
+        f"{h.strip.dtype} ({h.strip.size*h.strip.dtype.itemsize/1e9:.2f} GB), "
+        f"tail tiles {tail_tiles} (~{tail_tiles*h.tail_tiles.cols.shape[1]/1e6:.1f}M slots)"
+    )
+
+    x = jax.jit(
+        lambda: jax.random.normal(
+            jax.random.PRNGKey(0), (v, args.dim), jnp.float32
+        )
+    )()
+
+    t0 = time.time()
+    y = spmm_hybrid(h, x)
+    s0 = float(jnp.sum(y[:8, :8]))
+    log(f"hybrid first call ok ({time.time()-t0:.1f}s, checksum {s0:.4f})")
+
+    if args.validate:
+        from maxk_tpu.ops.spmm_xla import spmm_tiles_scan
+        from maxk_tpu.sparse.meta import build_edge_tiles_device
+
+        gn = with_norm(pg, args.norm)
+        tiles = build_edge_tiles_device(gn)
+
+        @jax.jit
+        def errs(y, tiles, x):
+            ref = spmm_tiles_scan(tiles, x)
+            d = jnp.abs(y.astype(jnp.float32) - ref)
+            scale = jnp.maximum(jnp.max(jnp.abs(ref)), 1e-6)
+            return jnp.max(d), jnp.mean(d), scale
+
+        mx, mn, sc = (float(q) for q in jax.device_get(errs(y, tiles, x)))
+        log(
+            f"validate vs tiles_scan: max_abs={mx:.3e} mean_abs={mn:.3e} "
+            f"scale={sc:.3e} (max_rel {mx/sc:.2e}, mean_rel {mn/sc:.2e})"
+        )
+        tol = 1e-4 if args.dtype == "float32" else 2e-2
+        if mn / sc > 1e-3 or mx / sc > tol:
+            log("VALIDATION FAILED")
+            sys.exit(1)
+
+        if args.tiles:
+            # schedules ride as jit ARGS (closures ship as HLO constants
+            # through the remote-compile tunnel -> HTTP 413)
+            ft = jax.jit(lambda tt, xx: spmm_tiles_scan(tt, xx))
+            tt = timeit(ft, tiles, x)
+            log(f"tiles_scan: {tt*1e3:.2f} ms  {live/tt/1e9:.3f} Gnnz/s")
+
+    f = jax.jit(lambda hh, xx: spmm_hybrid(hh, xx))
+    t = timeit(f, h, x)
+    log(f"hybrid fwd: {t*1e3:.2f} ms  {live/t/1e9:.3f} Gnnz/s")
+    ftr = jax.jit(lambda hh, xx: spmm_hybrid(hh, xx, transpose=True))
+    ttr = timeit(ftr, h, x)
+    log(f"hybrid fwd (transpose): {ttr*1e3:.2f} ms")
+
+    # arm split: strip-only vs tail-only timing
+    from maxk_tpu.ops.spmm_xla import spmm_tiles_scan as _scan
+
+    tailf = jax.jit(lambda tt, xx: _scan(tt, xx))
+    t_tail = timeit(tailf, h.tail_tiles, x)
+    log(f"  tail arm alone: {t_tail*1e3:.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

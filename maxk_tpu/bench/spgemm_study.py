@@ -1,21 +1,29 @@
 """SpGEMM-pruning study — TPU analog of the reference's nsparse benchmarks.
 
-The reference's "spgemm-prunning" study (`spgemm_comparison_test*.cu`,
-`spgemm_compare_baseline*.cu`) measures adjacency × *pruned* (sparse)
-feature matrix at feature sparsity ∈ {0.5, 0.25, 0.125, 0.0625}, dim 256,
-comparing hash-SpGEMM (±AIA) against `cusparseSpGEMM`, with GFLOPS
-accounting `flop = Σ_(i,j)∈A 2·nnz(X[j,:])` (`spgemm_comparison_test.cu:
-36-102`).
+The reference's "spgemm-prunning" study (`spgemm_comparison_test_2.cu:
+348-409`, `spgemm_compare_baseline_2.cu:193-259`) measures the OUTPUT-
+SPARSE product adjacency × pruned feature matrix at feature sparsity
+∈ {0.5, 0.25, 0.125, 0.0625}, dim 256, across multiple strategies
+(hash-SpGEMM without AIA, with AIA, cusparseSpGEMM) with PER-PHASE
+timing (symbolic/numeric; workEstimation/compute/copy) and GFLOPS
+accounting `flop = Σ_(i,j)∈A 2·nnz(X[j,:])`.
 
-On TPU the competing strategies for A @ X_pruned are:
+TPU translation: dynamic-nnz sparse outputs are alien to XLA's static
+shapes, so the output-sparse format is row-wise top-k CBSR — exactly the
+structure a fused MaxK layer consumes (output pruned to k = s·dim). The
+"symbolic phase" analog is output-structure determination (the top-k
+threshold search); "numeric" is value computation. Strategies:
 
-  dense    — densify X, bf16 MXU SpMM (brute force; the TPU's cuSPARSE)
-  cbsr     — the MaxK CBSR path (this framework's hash-SpGEMM role):
-             k = sparsity·dim compressed columns, compact backward
-  segsum   — XLA gather+segment_sum reference
+  segsum_topk  — gather+segment_sum then prune (cuSPARSE-role library arm)
+  dense_topk   — densify → tile/hybrid SpMM → prune (two-phase)
+  cbsr_fused   — compressed CBSR in, SpMM, prune (hash-SpGEMM role: input
+                 sparsity exploited end-to-end, compact intermediates)
+  hybrid_topk  — degree-sorted symmetric-strip SpMM → prune (the AIA
+                 role: adaptive arm selection by band density)
 
 Usage: python -m maxk_tpu.bench.spgemm_study [--graph reddit --scale 0.02]
-Emits per-(sparsity, strategy) time + effective GFLOPS, JSON to stdout.
+Emits per-(sparsity, strategy) phase times + effective GFLOPS, JSON to
+stdout, and cross-validates all arms against the segsum oracle.
 """
 
 from __future__ import annotations
@@ -38,7 +46,10 @@ def main(argv=None):
     p.add_argument("--graph", default="reddit")
     p.add_argument("--scale", type=float, default=0.02)
     p.add_argument("--dim", type=int, default=256)
-    p.add_argument("--mode", default="segsum")
+    p.add_argument("--mode", default="tiles_scan",
+                   help="SpMM mode for the dense_topk arm")
+    p.add_argument("--validate", action="store_true", default=True)
+    p.add_argument("--no-validate", dest="validate", action="store_false")
     args = p.parse_args(argv)
 
     import jax
@@ -51,14 +62,28 @@ def main(argv=None):
     from maxk_tpu.data.datasets import DATASETS
     from maxk_tpu.data.device_gen import rmat_graph_device
     from maxk_tpu.ops.spgemm import maxk_spgemm, spmm
-    from maxk_tpu.sparse.cbsr import CBSR, cbsr_densify
+    from maxk_tpu.sparse.cbsr import CBSR, cbsr_densify, maxk_cbsr
     from maxk_tpu.sparse.csr import with_norm
     from maxk_tpu.sparse.graph import Graph
+    from maxk_tpu.sparse.hybrid import (
+        build_hybrid_device,
+        degree_perm_device,
+        permute_csr_device,
+    )
+
+    try:
+        from maxk_tpu.ops.topk_pallas import maxk_cbsr_fast
+    except Exception:  # CPU path
+        maxk_cbsr_fast = maxk_cbsr
 
     spec = DATASETS[args.graph]
     v = max(int(spec.num_nodes * args.scale), 64)
     e_target = max(int(spec.num_edges * args.scale), 256)
-    g = with_norm(rmat_graph_device(v, e_target, seed=123), "none")
+    graw = rmat_graph_device(v, e_target, seed=123)
+    # degree-permute ONCE so every arm sees the same (permuted) problem
+    graw = permute_csr_device(graw, degree_perm_device(graw))
+    hybrid = build_hybrid_device(graw, norm="none")
+    g = with_norm(graw, "none")
     e_real = int(np.asarray(jnp.sum(g.values != 0)))
     tiles = None
     if args.mode in ("pallas", "tiles_xla", "tiles_scan"):
@@ -66,57 +91,99 @@ def main(argv=None):
 
         tiles = build_edge_tiles_device(g)
     graph = Graph(csr=g, csc=g, tiles=tiles, tiles_t=tiles)
+    hgraph = Graph(csr=g, csc=g, hybrid=hybrid)
     log(f"{args.graph} x{args.scale}: V={v} E(live)={e_real} dim={args.dim}")
 
     key = jax.random.PRNGKey(123)
+    dim = args.dim
     results = []
     for sp in SPARSITIES:
-        k = max(int(args.dim * sp), 1)
+        k = max(int(dim * sp), 1)
         vals = jax.jit(
             lambda: jax.random.normal(jax.random.fold_in(key, k), (v, k))
         )()
         sel = jax.jit(
             lambda: jax.random.randint(
-                jax.random.fold_in(key, 1000 + k), (v, k), 0, args.dim, jnp.int32
+                jax.random.fold_in(key, 1000 + k), (v, k), 0, dim, jnp.int32
             )
         )()
         cbsr = CBSR(values=vals, selector=sel)
-        flops = 2.0 * e_real * k  # reference accounting
+        flops = 2.0 * e_real * k  # reference accounting (input sparsity)
 
-        x_dense = jax.jit(lambda c: cbsr_densify(c, args.dim))(cbsr)
-        t_dense = timeit(
-            jax.jit(
-                lambda g_, x: spmm(g_, x.astype(jnp.bfloat16), mode=args.mode)
-            ),
-            graph,
-            x_dense,
-            iters=4,
+        densify = jax.jit(lambda c: cbsr_densify(c, dim))
+        x_dense = densify(cbsr)
+        prune = jax.jit(lambda y: maxk_cbsr_fast(y, k))
+
+        arms = {}
+
+        # --- segsum_topk (library arm) --------------------------------
+        t_num = timeit(
+            jax.jit(lambda g_, x: spmm(g_, x, mode="segsum")),
+            graph, x_dense, iters=4,
         )
-        t_cbsr = timeit(
-            jax.jit(
-                lambda g_, c: maxk_spgemm(
-                    g_, c, dim=args.dim, mode=args.mode,
-                    compute_dtype=jnp.bfloat16,
-                )
-            ),
-            graph,
-            cbsr,
-            iters=4,
+        y_ref = jax.jit(lambda g_, x: spmm(g_, x, mode="segsum"))(graph, x_dense)
+        t_sym = timeit(prune, y_ref, iters=4)
+        arms["segsum_topk"] = {"numeric_ms": t_num * 1e3,
+                               "symbolic_ms": t_sym * 1e3}
+
+        # --- dense_topk (densify + tile SpMM + prune) -----------------
+        t_d = timeit(densify, cbsr, iters=4)
+        t_num = timeit(
+            jax.jit(lambda g_, x: spmm(g_, x.astype(jnp.bfloat16),
+                                       mode=args.mode)),
+            graph, x_dense, iters=4,
         )
-        rec = {
-            "sparsity": sp,
-            "k": k,
-            "dense_ms": t_dense * 1e3,
-            "cbsr_ms": t_cbsr * 1e3,
-            "dense_gflops": flops / t_dense / 1e9,
-            "cbsr_gflops": flops / t_cbsr / 1e9,
-        }
-        log(f"  sparsity {sp}: dense {t_dense*1e3:.2f} ms "
-            f"({rec['dense_gflops']:.1f} GF/s) | cbsr {t_cbsr*1e3:.2f} ms "
-            f"({rec['cbsr_gflops']:.1f} GF/s)")
+        arms["dense_topk"] = {"densify_ms": t_d * 1e3,
+                              "numeric_ms": t_num * 1e3,
+                              "symbolic_ms": t_sym * 1e3}
+
+        # --- cbsr_fused (compressed in, fused densify) ----------------
+        t_num = timeit(
+            jax.jit(lambda g_, c: maxk_spgemm(g_, c, dim=dim, mode=args.mode,
+                                              compute_dtype=jnp.bfloat16)),
+            graph, cbsr, iters=4,
+        )
+        arms["cbsr_fused"] = {"numeric_ms": t_num * 1e3,
+                              "symbolic_ms": t_sym * 1e3}
+
+        # --- hybrid_topk (degree-sorted strip arm) --------------------
+        t_num = timeit(
+            jax.jit(lambda g_, c: maxk_spgemm(g_, c, dim=dim, mode="hybrid",
+                                              compute_dtype=jnp.bfloat16)),
+            hgraph, cbsr, iters=4,
+        )
+        arms["hybrid_topk"] = {"numeric_ms": t_num * 1e3,
+                               "symbolic_ms": t_sym * 1e3}
+
+        if args.validate:
+            y_h = jax.jit(
+                lambda g_, c: maxk_spgemm(g_, c, dim=dim, mode="hybrid")
+            )(hgraph, cbsr)
+            err = float(jnp.mean(jnp.abs(y_h - y_ref)))
+            scale_ = float(jnp.maximum(jnp.max(jnp.abs(y_ref)), 1e-6))
+            ok = err / scale_ < 1e-3
+            if not ok:
+                log(f"  VALIDATION FAILED sparsity={sp}: mean_rel {err/scale_:.2e}")
+                sys.exit(1)
+
+        rec = {"sparsity": sp, "k": k, "flop": flops}
+        for name, ph in arms.items():
+            total = sum(ph.values())
+            rec[name] = {**ph, "total_ms": total,
+                         "gflops": flops / total / 1e6}
         results.append(rec)
+        log(f"  s={sp} (k={k}): " + " | ".join(
+            f"{n} {sum(ph.values()):.2f}ms" for n, ph in arms.items()))
+
+    best = {}
+    for rec in results:
+        arm = min(
+            (a for a in rec if isinstance(rec[a], dict)),
+            key=lambda a: rec[a]["total_ms"],
+        )
+        best[rec["sparsity"]] = arm
     print(json.dumps({"graph": args.graph, "V": v, "E": e_real,
-                      "results": results}))
+                      "results": results, "best_arm": best}))
     return results
 
 

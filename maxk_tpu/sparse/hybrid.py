@@ -245,11 +245,15 @@ def build_hybrid_device(
         rows = jnp.clip(rows, 0, v - 1)
         live = (ar < indptr[-1]) & (values != 0)
         in_strip = live & (indices < s)
+        # scatter straight into the strip dtype: a f32 intermediate would
+        # double the peak memory (reddit strip is 7.6 GB in bf16); each
+        # (row, col) occurs once (dedup'd), so no accumulation precision
+        # is at stake — only the value's own rounding
         strip = (
-            jnp.zeros((vp, s), jnp.float32)
+            jnp.zeros((vp, s), strip_dtype)
             .at[jnp.where(in_strip, rows, vp - 1),
                 jnp.where(in_strip, indices, 0)]
-            .add(jnp.where(in_strip, values, 0.0))
+            .add(jnp.where(in_strip, values, 0.0).astype(strip_dtype))
         )
         deg = jax.ops.segment_sum(
             live.astype(jnp.float32), rows, num_segments=v,

@@ -41,7 +41,12 @@ def test_spgemm_study_tiny(capsys):
     assert len(results) == 4  # 4 sparsities
     line = capsys.readouterr().out.strip().splitlines()[-1]
     payload = json.loads(line)
-    assert payload["results"][0]["cbsr_gflops"] > 0
+    rec = payload["results"][0]
+    # >=3 strategies, per-phase timing, output-sparse (top-k CBSR) product
+    for arm in ("segsum_topk", "dense_topk", "cbsr_fused", "hybrid_topk"):
+        assert rec[arm]["gflops"] > 0
+        assert rec[arm]["symbolic_ms"] > 0  # output-structure phase
+    assert payload["best_arm"]
 
 
 def test_plots_from_bench(tmp_path):
