@@ -64,13 +64,6 @@ def main():
         # tiles_scan is memory-bounded, so full reddit scale fits on one
         # chip; CPU CI keeps a small slice
         scale = 1.0 if on_tpu else 0.02
-    mode = args.mode
-    if mode == "auto":
-        # the production default (ops/dispatch): hybrid strips on TPU
-        mode = "hybrid" if on_tpu else "segsum"
-    log(f"backend={backend} mode={mode} scale={scale} "
-        f"latency={roundtrip_latency()*1e3:.0f}ms")
-
     spec = DATASETS[args.graph]
     v = max(int(spec.num_nodes * scale), 64)
     e_target = max(int(spec.num_edges * scale), 256)
@@ -78,18 +71,33 @@ def main():
     e_real = int(np.asarray(jnp.sum(g.values != 0)))
     log(f"graph {args.graph} x{scale}: V={v} E={g.nnz} (live {e_real})")
 
+    mode = args.mode
+    if mode == "auto":
+        # the production dispatch rule, resolved per graph: strip hybrid
+        # where its matmuls beat the gather wall, tiles elsewhere
+        from maxk_tpu.sparse.hybrid import hybrid_profitable
+
+        if on_tpu:
+            mode = "hybrid" if hybrid_profitable(v, e_real, args.dim) \
+                else "tiles_scan"
+        else:
+            mode = "segsum"
+    log(f"backend={backend} mode={mode} scale={scale} "
+        f"latency={roundtrip_latency()*1e3:.0f}ms")
+
     from maxk_tpu.sparse.csr import csr_transpose_device
 
     hybrid = None
     if mode == "hybrid":
         from maxk_tpu.sparse.hybrid import (
+            auto_strip_cols,
             build_hybrid_device,
             degree_perm_device,
             permute_csr_device,
         )
 
         g = permute_csr_device(g, degree_perm_device(g))
-        hybrid = build_hybrid_device(g, norm="right")
+        hybrid = build_hybrid_device(g, s_cols=auto_strip_cols(v), norm="right")
         log(f"hybrid strip {hybrid.strip.shape} {hybrid.strip.dtype}")
     g = with_norm(g, "right")
     # right-norm breaks value symmetry even on symmetric structure, so the

@@ -108,25 +108,34 @@ def main(argv=None):
     from maxk_tpu.sparse.meta import build_edge_tiles_device
 
     # mode selection delegates to the production dispatch rule so default
-    # suite invocations benchmark what training actually runs (the suite
-    # can always build the hybrid schedule for its synthetic graphs)
+    # suite invocations benchmark what training actually runs; "auto"
+    # resolves PER GRAPH: the strip hybrid where its matmuls beat the
+    # gather wall (high avg degree), the tile path elsewhere
     from maxk_tpu.ops.dispatch import resolve_mode
-
-    mode = resolve_mode(args.mode, has_tiles=True, has_hybrid=True).value
 
     results = []
     n = 0
     for name, g in load_suite(args):
+        e_live = int(np.asarray(g.indptr[-1]))
+        mode = args.mode
+        if mode == "auto":
+            from maxk_tpu.sparse.hybrid import hybrid_profitable
+
+            has_hyb = hybrid_profitable(g.num_nodes, e_live, args.dim)
+            mode = resolve_mode("auto", has_tiles=True, has_hybrid=has_hyb).value
         hybrid = None
         if mode == "hybrid":
             from maxk_tpu.sparse.hybrid import (
+                auto_strip_cols,
                 build_hybrid_device,
                 degree_perm_device,
                 permute_csr_device,
             )
 
             g = permute_csr_device(g, degree_perm_device(g))
-            hybrid = build_hybrid_device(g, norm="right")
+            hybrid = build_hybrid_device(
+                g, s_cols=auto_strip_cols(g.num_nodes), norm="right"
+            )
         g = with_norm(g, "right")
         e_real = int(np.asarray(jnp.sum(g.values != 0)))
         tiles = (

@@ -59,6 +59,7 @@ def main():
     perm = degree_perm_device(g)
     pg = permute_csr_device(g, perm)
     jax.block_until_ready(pg.indices)
+    del g, perm  # free ~1 GB HBM before the strip build
     log(f"permute ({time.time()-t0:.1f}s)")
     t0 = time.time()
     dt = jnp.float32 if args.dtype == "float32" else jnp.bfloat16

@@ -40,18 +40,30 @@ class _GNNBase(nn.Module):
     kernel_mode: str = "auto"
     compute_dtype: Optional[jnp.dtype] = None
 
-    def _nonlinear(self, x):
-        """Returns (activated_dense, cbsr_or_None). The densify here is
-        the ONLY expansion per layer (layers reuse it for both fc_self
-        and aggregation); its VJP samples compactly at the selectors."""
-        if self.nonlinear == "maxk":
-            from maxk_tpu.ops.topk_pallas import maxk_cbsr_fast
+    def _nonlinear(self, x, graph: Optional[Graph] = None):
+        """Returns (activated_dense, cbsr_or_None).
 
-            cbsr = maxk_cbsr_fast(x, self.maxk)
-            dense = cbsr_densify(
-                cbsr, x.shape[-1], onehot_dtype=self.compute_dtype
-            )
-            return dense, cbsr
+        Sharded graphs need the compact CBSR (the compressed all_gather
+        moves V·k over ICI, and only the explicit custom-VJP op carries
+        that collective); there the densify is the ONLY expansion per
+        layer and its VJP samples compactly at the selectors. Single
+        device, `densify(topk(x)) ≡ x ⊙ mask`, so the threshold-only
+        Pallas kernel skips the compaction loop entirely and the layers
+        aggregate the masked dense features directly."""
+        if self.nonlinear == "maxk":
+            from maxk_tpu.parallel.shard import ShardedGraph
+
+            if isinstance(graph, ShardedGraph):
+                from maxk_tpu.ops.topk_pallas import maxk_cbsr_fast
+
+                cbsr = maxk_cbsr_fast(x, self.maxk)
+                dense = cbsr_densify(
+                    cbsr, x.shape[-1], onehot_dtype=self.compute_dtype
+                )
+                return dense, cbsr
+            from maxk_tpu.ops.topk_pallas import maxk_mask_fast
+
+            return maxk_mask_fast(x, self.maxk), None
         return nn.relu(x), None
 
 
@@ -63,7 +75,7 @@ class MaxKSAGE(_GNNBase):
     def __call__(self, graph: Graph, x, train: bool = False):
         x = nn.Dense(self.hidden_dim, name="lin_in")(x)
         for i in range(self.num_layers):
-            x, cbsr = self._nonlinear(x)
+            x, cbsr = self._nonlinear(x, graph)
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
             x = MaxKSAGEConv(
                 self.hidden_dim,
@@ -84,7 +96,7 @@ class MaxKGCN(_GNNBase):
     def __call__(self, graph: Graph, x, train: bool = False):
         x = nn.Dense(self.hidden_dim, name="lin_in")(x)
         for i in range(self.num_layers):
-            x, cbsr = self._nonlinear(x)
+            x, cbsr = self._nonlinear(x, graph)
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
             x = MaxKGraphConv(
                 self.hidden_dim,
@@ -104,7 +116,7 @@ class MaxKGIN(_GNNBase):
     def __call__(self, graph: Graph, x, train: bool = False):
         x = nn.Dense(self.hidden_dim, name="lin_in")(x)
         for i in range(self.num_layers):
-            x, cbsr = self._nonlinear(x)
+            x, cbsr = self._nonlinear(x, graph)
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
             x = MaxKGINConv(
                 self.hidden_dim,

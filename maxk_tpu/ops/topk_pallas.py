@@ -36,8 +36,10 @@ from maxk_tpu.sparse.cbsr import CBSR
 ROWS_PER_BLOCK = 256
 
 
-def _topk_kernel(k: int, x_ref, vals_ref, sel_ref):
-    x = x_ref[:]
+def _take_mask(k: int, x):
+    """Tie-aware top-k selection mask for one row block (shared by the
+    CBSR kernel and the mask-only kernel): exact-f32 radix threshold
+    search + first-(k−#greater) tie resolution in column order."""
     rb, d = x.shape
     # order-preserving f32 -> uint32: flip sign bit for positives,
     # all bits for negatives
@@ -67,6 +69,13 @@ def _topk_kernel(k: int, x_ref, vals_ref, sel_ref):
     eq_f = eq.astype(jnp.float32)
     eq_ex = excl_cumsum(eq_f)
     take = gt | (eq & (eq_ex < (k - n_gt).astype(jnp.float32)))
+    return take, excl_cumsum
+
+
+def _topk_kernel(k: int, x_ref, vals_ref, sel_ref):
+    x = x_ref[:]
+    rb, d = x.shape
+    take, excl_cumsum = _take_mask(k, x)
 
     # compaction: rank within row, then k masked row-sums (batched
     # dot_general trips a Mosaic attr-parse bug on this toolchain, so the
@@ -81,6 +90,87 @@ def _topk_kernel(k: int, x_ref, vals_ref, sel_ref):
         m = ((rank_i == j) & take).astype(jnp.float32)
         vals_ref[:, j] = jnp.sum(xm * m, axis=1)
         sel_ref[:, j] = jnp.sum(cm * m, axis=1).astype(jnp.int32)
+
+
+def _mask_kernel(k: int, x_ref, out_ref, take_ref):
+    x = x_ref[:]
+    take, _ = _take_mask(k, x)
+    take_f = take.astype(jnp.float32)
+    out_ref[:] = x * take_f
+    # 0/1 is exact in bf16; halves the mask residual's HBM traffic
+    take_ref[:] = take_f.astype(jnp.bfloat16)
+
+
+MASK_ROWS_PER_BLOCK = 512  # no per-j extraction state → bigger blocks fit
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _mask_pallas_raw(x: jax.Array, k: int, interpret: bool = False):
+    v, d = x.shape
+    rb = min(MASK_ROWS_PER_BLOCK, v)
+    pad = (-v) % rb
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)), constant_values=-np.inf)
+    vp = v + pad
+    out, take = pl.pallas_call(
+        functools.partial(_mask_kernel, k),
+        grid=(vp // rb,),
+        in_specs=[
+            pl.BlockSpec((rb, d), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=(
+            pl.BlockSpec((rb, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((vp, d), jnp.float32),
+            jax.ShapeDtypeStruct((vp, d), jnp.bfloat16),
+        ),
+        interpret=interpret,
+    )(x)
+    return out[:v], take[:v]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def maxk_mask_pallas(x: jax.Array, k: int) -> jax.Array:
+    """MaxK activation `x * topk_mask(x)` — threshold-only Pallas kernel.
+
+    The production single-chip path: `densify(topk_cbsr(x)) ≡ x ⊙ mask`,
+    so when no compact CBSR is needed (hybrid/dense aggregation, no
+    cross-chip collectives) the per-slot compaction loop — ~2/3 of the
+    CBSR kernel's VPU work — is skipped entirely. Tie semantics match
+    `topk_cbsr_pallas` (exactly k survivors per row). Role of the
+    reference's `MaxK(Function)` (`maxk_models_integrated.py:28-43`)."""
+    return _mask_pallas_raw(x, k)[0]
+
+
+def _mask_fwd(x, k):
+    y, take = _mask_pallas_raw(x, k)
+    return y, take
+
+
+def _mask_bwd(k, take, g):
+    return (g * take.astype(g.dtype),)
+
+
+maxk_mask_pallas.defvjp(_mask_fwd, _mask_bwd)
+
+
+def maxk_mask_fast(x: jax.Array, k: int) -> jax.Array:
+    """Masked MaxK via the Pallas threshold kernel on TPU, lax.top_k
+    elsewhere (see `maxk_cbsr_fast` for the dispatch rationale)."""
+    import os
+
+    if (
+        jax.default_backend() == "tpu"
+        and x.ndim == 2
+        and not os.environ.get("MAXK_TPU_DISABLE_PALLAS")
+    ):
+        return maxk_mask_pallas(x, k)
+    from maxk_tpu.sparse.cbsr import CBSR, cbsr_densify, maxk_cbsr
+
+    c = maxk_cbsr(x, k)
+    return cbsr_densify(c, x.shape[-1])
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))

@@ -52,7 +52,7 @@ def build_graph(
     row_block: int = ROW_BLOCK,
     edge_tile: int = EDGE_TILE,
     hybrid: bool = False,
-    strip_cols: int = 16384,
+    strip_cols: Optional[int] = None,  # None → auto (HBM-budget-capped)
 ) -> Graph:
     """Build the operator bundle. `norm` folds degree normalization into edge
     values (see `maxk_tpu.sparse.csr.with_norm`).
@@ -77,6 +77,10 @@ def build_graph(
         )
 
         if check_hybrid_ok(csr):
+            from maxk_tpu.sparse.hybrid import auto_strip_cols
+
+            if strip_cols is None:
+                strip_cols = auto_strip_cols(csr.num_nodes)
             perm = degree_perm(csr)
             csr = permute_csr(csr, perm)
             hyb = build_hybrid(

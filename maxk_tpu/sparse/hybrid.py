@@ -33,6 +33,7 @@ device (benchmark graphs are generated on device; the tunnel uploads at
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -50,6 +51,40 @@ from maxk_tpu.sparse.meta import (
 )
 
 STRIP_COLS = 16384  # default hub-strip width (probe-tuned for reddit)
+
+# planning constants (measured, docs/PERF.md): the XLA gather wall and the
+# practical bf16 MXU rate on one v5e chip
+GATHER_SEC_PER_EDGE = 9e-9
+MXU_FLOPS = 1.5e14
+STRIP_HBM_BUDGET = 6e9  # strip bytes budget (16 GB chip minus working set)
+
+
+def auto_strip_cols(v: int, s_cols: int = STRIP_COLS) -> int:
+    """Strip width for a V-node graph: the default, shrunk to fit the
+    HBM budget (bf16), lane-aligned."""
+    vp = -(-v // 128) * 128
+    fit = int(STRIP_HBM_BUDGET // (vp * 2)) // 128 * 128
+    return max(min(s_cols, v, fit), 0)
+
+
+def hybrid_profitable(v: int, e_live: int, dim: int = 256) -> bool:
+    """Planning rule: build the strip hybrid only where its 3 dense
+    matmuls beat the gather wall the tail would otherwise pay.
+
+    strip cost ≈ 3·vp·s·dim·2 / MXU_FLOPS;  gather cost ≈ E·9 ns.
+    The 0.5 margin covers the tail arm and coverage uncertainty (the
+    hub-strip fraction isn't known until the schedule is built). High
+    average-degree graphs (reddit ~340, proteins ~30 at published scale)
+    pass; flickr/yelp-density graphs stay on the tile path — mirroring
+    the reference's own claim territory (`README.md:136` restricts the
+    kernel speedups to graphs with avg degree > 50)."""
+    s = auto_strip_cols(v)
+    if s < 1024:
+        return False  # strip too narrow to hold the hub mass
+    vp = -(-v // 128) * 128
+    strip_time = 3.0 * vp * s * dim * 2 / MXU_FLOPS
+    gather_time = e_live * GATHER_SEC_PER_EDGE
+    return strip_time < 0.5 * gather_time
 
 
 @struct.dataclass
@@ -237,24 +272,19 @@ def build_hybrid_device(
     s = max(128, (s // 128) * 128) if v >= 128 else v
     vp = -(-v // 128) * 128
 
+    # Phased build (separate jits, donated buffers): a reddit-scale strip
+    # is 7.6 GB bf16 and the naive single-jit version co-residents it with
+    # the sort scratch and per-chunk scatter temps — runtime OOM on a
+    # 16 GB chip. Phase 1 extracts the tail (sort scratch freed after);
+    # phase 2 scatters the strip chunk-by-chunk into a donated buffer.
+
     @jax.jit
-    def split(indptr, indices, values):
+    def tail_phase(indptr, indices, values):
         e = indices.shape[0]
         ar = jnp.arange(e, dtype=jnp.int32)
         rows = jnp.searchsorted(indptr, ar, side="right").astype(jnp.int32) - 1
         rows = jnp.clip(rows, 0, v - 1)
         live = (ar < indptr[-1]) & (values != 0)
-        in_strip = live & (indices < s)
-        # scatter straight into the strip dtype: a f32 intermediate would
-        # double the peak memory (reddit strip is 7.6 GB in bf16); each
-        # (row, col) occurs once (dedup'd), so no accumulation precision
-        # is at stake — only the value's own rounding
-        strip = (
-            jnp.zeros((vp, s), strip_dtype)
-            .at[jnp.where(in_strip, rows, vp - 1),
-                jnp.where(in_strip, indices, 0)]
-            .add(jnp.where(in_strip, values, 0.0).astype(strip_dtype))
-        )
         deg = jax.ops.segment_sum(
             live.astype(jnp.float32), rows, num_segments=v,
             indices_are_sorted=True,
@@ -268,16 +298,50 @@ def build_hybrid_device(
             tr, jnp.arange(v + 1, dtype=jnp.int32)
         ).astype(jnp.int32)
         return (
-            strip.astype(strip_dtype),
             deg,
             tail_indptr,
             jnp.where(tr < v, tc, 0).astype(jnp.int32),
             jnp.where(tr < v, tv, 0.0),
         )
 
-    strip, deg, tail_indptr, tail_cols, tail_vals = split(
+    # scatter straight into the strip dtype: a f32 intermediate would
+    # double the peak memory; each (row, col) occurs once (dedup'd), so no
+    # accumulation precision is at stake — only the value's own rounding.
+    # 1D flat indices, chunked over columns: a 2D .at[rows, cols] scatter
+    # stacks an (E, 2) index array whose (8,128) tiling pads 64× (58 GB at
+    # reddit scale — compile-time OOM), and a single flat index overflows
+    # int32 when vp*s > 2^31. Chunk width caps both the flat index range
+    # and the per-chunk temps (~2 chunk copies live at once).
+    w = min(s, 2048, max(128, ((2**31 - 1) // vp) // 128 * 128))
+
+    @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(4,))
+    def strip_chunk(strip, indptr, indices, values, c0):
+        e = indices.shape[0]
+        ar = jnp.arange(e, dtype=jnp.int32)
+        rows = jnp.searchsorted(indptr, ar, side="right").astype(jnp.int32) - 1
+        rows = jnp.clip(rows, 0, v - 1)
+        live = (ar < indptr[-1]) & (values != 0)
+        wc = min(w, s - c0)
+        in_chunk = live & (indices >= c0) & (indices < c0 + wc)
+        idx = jnp.where(in_chunk, rows * wc + (indices - c0), -1)
+        chunk = (
+            jnp.zeros((vp * wc,), strip_dtype)
+            .at[idx]
+            .add(
+                jnp.where(in_chunk, values, 0.0).astype(strip_dtype),
+                mode="drop",
+            )
+        )
+        return jax.lax.dynamic_update_slice(
+            strip, chunk.reshape(vp, wc), (0, c0)
+        )
+
+    deg, tail_indptr, tail_cols, tail_vals = tail_phase(
         csr.indptr, csr.indices, csr.values
     )
+    strip = jnp.zeros((vp, s), strip_dtype)
+    for c0 in range(0, s, w):
+        strip = strip_chunk(strip, csr.indptr, csr.indices, csr.values, c0)
     # trim the tail arrays to the live tail (one scalar fetch) so the tile
     # tables are sized for ~7% of E, not all of it
     tl = int(np.asarray(tail_indptr[-1]))

@@ -80,14 +80,20 @@ def setup(cfg: TrainConfig, data: GraphData) -> TrainState:
         kernel_mode=cfg.kernel_mode,
         compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None,
     )
+    want_hybrid = cfg.kernel_mode == "hybrid"
+    if cfg.kernel_mode == "auto" and jax.default_backend() == "tpu":
+        from maxk_tpu.sparse.hybrid import hybrid_profitable
+
+        e_live = int(np.asarray(data.csr.indptr[-1]))
+        want_hybrid = hybrid_profitable(data.csr.num_nodes, e_live)
     build_tiles = cfg.kernel_mode in ("auto", "pallas", "tiles_xla", "tiles_scan")
     graph = build_graph(
         data.csr,
         norm=gnorm,
-        build_tiles=build_tiles,
+        build_tiles=build_tiles and not want_hybrid,
         row_block=cfg.row_block,
         edge_tile=cfg.edge_tile,
-        hybrid=cfg.kernel_mode == "hybrid",
+        hybrid=want_hybrid,
     )
     data = permuted_data(data, graph)
     rng = jax.random.PRNGKey(cfg.seed)

@@ -56,6 +56,62 @@ def test_topk_negative_values():
     )
 
 
+@pytest.mark.parametrize("k", [1, 8, 32])
+@pytest.mark.parametrize("v,d", [(64, 256), (200, 256), (64, 128)])
+def test_mask_matches_cbsr_densify(k, v, d):
+    from maxk_tpu.ops.topk_pallas import _mask_pallas_raw
+
+    rng = np.random.default_rng(k + v + 7)
+    x = jnp.asarray(rng.standard_normal((v, d)), jnp.float32)
+    y, take = _mask_pallas_raw(x, k, True)
+    ref = maxk_cbsr(x, k)
+    np.testing.assert_allclose(
+        np.asarray(y), _densify_pair(ref.values, ref.selector, d), atol=1e-6
+    )
+    # mask is 0/1 with exactly k survivors per row (tie-aware)
+    t = np.asarray(take, np.float32)
+    assert set(np.unique(t)) <= {0.0, 1.0}
+    np.testing.assert_array_equal(t.sum(axis=1), k)
+
+
+def test_mask_ties_exactly_k():
+    from maxk_tpu.ops.topk_pallas import _mask_pallas_raw
+
+    x = jnp.asarray(
+        np.array([[1.0] * 8 + [0.0] * 8, [2.0] * 4 + [-1.0] * 12]),
+        jnp.float32,
+    )
+    y, take = _mask_pallas_raw(x, 3, True)
+    np.testing.assert_array_equal(np.asarray(take).sum(axis=1), 3)
+    np.testing.assert_allclose(np.asarray(y).sum(axis=1), [3.0, 6.0])
+
+
+def test_mask_grad_routes_to_selected():
+    from maxk_tpu.ops.topk_pallas import maxk_mask_pallas
+
+    import maxk_tpu.ops.topk_pallas as tp
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((64, 256)), jnp.float32)
+    k = 8
+
+    def f_mask(x):
+        return jnp.sum(maxk_mask_pallas(x, k) ** 2)
+
+    def f_ref(x):
+        c = maxk_cbsr(x, k)
+        return jnp.sum(cbsr_densify(c, 256) ** 2)
+
+    orig = tp._mask_pallas_raw
+    tp._mask_pallas_raw = lambda x, k, interpret=False: orig(x, k, True)
+    try:
+        gx = jax.grad(f_mask)(x)
+    finally:
+        tp._mask_pallas_raw = orig
+    gref = jax.grad(f_ref)(x)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gref), atol=1e-5)
+
+
 def test_topk_grad_matches_lax():
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.standard_normal((64, 256)), jnp.float32)
