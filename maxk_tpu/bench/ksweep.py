@@ -1,0 +1,124 @@
+"""k-vs-accuracy-vs-epoch-time sweep — the `plotgnn.py:26-39` artifact.
+
+The reference's headline training tables report, per dataset × model, the
+speed improvement and accuracy delta of MaxK (k swept over {2..128})
+against the ReLU baseline (`README.md:160-174`, BASELINE.md). This driver
+reproduces that protocol on the synthetic planted-partition datasets at a
+feature SNR low enough that the task does NOT saturate (calibrated:
+relu-SAGE lands ~0.86 at snr=0.15 on flickr-scale; round-1's snr=0.5
+reached 1.000 and discriminated nothing).
+
+Usage:
+  python -m maxk_tpu.bench.ksweep --datasets flickr --models sage \
+      --scale 0.05 --epochs 150 [--k 2 4 8 16 32 64 96 128]
+
+Emits ONE JSON line: per (dataset, model, arm) best val/test accuracy and
+mean epoch time, plus the relu reference arm.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--datasets", nargs="+", default=["flickr", "reddit"])
+    p.add_argument("--models", nargs="+", default=["sage"])
+    p.add_argument("--k", nargs="+", type=int,
+                   default=[2, 4, 8, 16, 32, 64, 96, 128])
+    p.add_argument("--scale", type=float, default=0.05)
+    p.add_argument("--epochs", type=int, default=150)
+    p.add_argument("--hidden_dim", type=int, default=256)
+    p.add_argument("--hidden_layers", type=int, default=3)
+    p.add_argument("--feat_snr", type=float, default=0.15)
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--kernel_mode", default="auto")
+    p.add_argument("--compute_dtype", default="")
+    p.add_argument("--seed", type=int, default=97)
+    args = p.parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.maxk_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from maxk_tpu.data.datasets import load_dataset
+    from maxk_tpu.train.config import TrainConfig
+    from maxk_tpu.train.loop import train
+
+    results = []
+    for ds in args.datasets:
+        data = load_dataset(ds, scale=args.scale, seed=123,
+                            feat_snr=args.feat_snr)
+        log(f"{ds} x{args.scale}: V={data.csr.num_nodes} E={data.csr.nnz} "
+            f"snr={args.feat_snr}")
+        for model in args.models:
+            arms = [("relu", args.hidden_dim)] + [
+                ("maxk", k) for k in args.k if k <= args.hidden_dim
+            ]
+            for nonlinear, k in arms:
+                cfg = TrainConfig(
+                    dataset=ds, model=model, epochs=args.epochs,
+                    lr=args.lr, hidden_dim=args.hidden_dim,
+                    hidden_layers=args.hidden_layers, nonlinear=nonlinear,
+                    maxk=k, seed=args.seed, data_scale=args.scale,
+                    kernel_mode=args.kernel_mode,
+                    compute_dtype=args.compute_dtype,
+                    feat_snr=args.feat_snr,
+                )
+                state = train(cfg, data, logger=None, writer=None)
+                ms = (
+                    float(np.mean(state.epoch_times) * 1e3)
+                    if state.epoch_times else 0.0
+                )
+                arm = "relu" if nonlinear == "relu" else f"maxk_k{k}"
+                rec = {
+                    "dataset": ds, "model": model, "arm": arm,
+                    "best_val": round(state.best_val, 4),
+                    "best_test": round(state.best_test, 4),
+                    "epoch_ms": round(ms, 2),
+                }
+                results.append(rec)
+                log(f"  {model}/{arm}: val {rec['best_val']} "
+                    f"test {rec['best_test']} {ms:.1f} ms/ep")
+
+    # per (dataset, model): accuracy delta + speedup vs the relu arm,
+    # the two columns of the reference's plotgnn tables
+    summary = []
+    for ds in args.datasets:
+        for model in args.models:
+            rows = [r for r in results
+                    if r["dataset"] == ds and r["model"] == model]
+            relu = next(r for r in rows if r["arm"] == "relu")
+            for r in rows:
+                if r["arm"] == "relu":
+                    continue
+                summary.append({
+                    "dataset": ds, "model": model, "arm": r["arm"],
+                    "acc_delta": round(r["best_test"] - relu["best_test"], 4),
+                    "speedup_pct": round(
+                        100.0 * (relu["epoch_ms"] - r["epoch_ms"])
+                        / max(relu["epoch_ms"], 1e-9), 1),
+                })
+    print(json.dumps({
+        "protocol": {
+            "feat_snr": args.feat_snr, "scale": args.scale,
+            "epochs": args.epochs, "hidden_dim": args.hidden_dim,
+            "hidden_layers": args.hidden_layers, "seed": args.seed,
+        },
+        "results": results,
+        "vs_relu": summary,
+    }))
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -27,6 +27,11 @@ def main():
     p.add_argument("--validate", action="store_true", default=True)
     p.add_argument("--no-validate", dest="validate", action="store_false")
     p.add_argument("--tiles", action="store_true", help="also time tiles_scan")
+    p.add_argument("--tail_tile", type=int, default=256)
+    p.add_argument("--tail_row_block", type=int, default=8)
+    p.add_argument("--tail_chunk", type=int, default=256)
+    p.add_argument("--tail_bf16", action="store_true",
+                   help="gather the tail in bf16")
     args = p.parse_args()
 
     import jax
@@ -63,12 +68,17 @@ def main():
     log(f"permute ({time.time()-t0:.1f}s)")
     t0 = time.time()
     dt = jnp.float32 if args.dtype == "float32" else jnp.bfloat16
-    h = build_hybrid_device(pg, s_cols=args.s, norm=args.norm, strip_dtype=dt)
+    h = build_hybrid_device(
+        pg, s_cols=args.s, norm=args.norm, strip_dtype=dt,
+        row_block=args.tail_row_block, edge_tile=args.tail_tile,
+    )
     tail_tiles = int(h.tail_tiles.block.shape[0])
+    tail_live = int(jnp.asarray(jnp.sum(h.tail_tiles.vals != 0)))
     log(
         f"hybrid build ({time.time()-t0:.1f}s): strip {h.strip.shape} "
         f"{h.strip.dtype} ({h.strip.size*h.strip.dtype.itemsize/1e9:.2f} GB), "
-        f"tail tiles {tail_tiles} (~{tail_tiles*h.tail_tiles.cols.shape[1]/1e6:.1f}M slots)"
+        f"tail tiles {tail_tiles} (~{tail_tiles*h.tail_tiles.cols.shape[1]/1e6:.1f}M "
+        f"slots, {tail_live/1e6:.1f}M live = {tail_live/live*100:.1f}% of E)"
     )
 
     x = jax.jit(
@@ -123,9 +133,13 @@ def main():
     # arm split: strip-only vs tail-only timing
     from maxk_tpu.ops.spmm_xla import spmm_tiles_scan as _scan
 
-    tailf = jax.jit(lambda tt, xx: _scan(tt, xx))
-    t_tail = timeit(tailf, h.tail_tiles, x)
-    log(f"  tail arm alone: {t_tail*1e3:.2f} ms")
+    xt = x.astype(jnp.bfloat16) if args.tail_bf16 else x
+    tailf = jax.jit(
+        lambda tt, xx: _scan(tt, xx, chunk=args.tail_chunk)
+    )
+    t_tail = timeit(tailf, h.tail_tiles, xt)
+    log(f"  tail arm alone ({xt.dtype}, chunk={args.tail_chunk}): "
+        f"{t_tail*1e3:.2f} ms")
 
 
 if __name__ == "__main__":

@@ -68,7 +68,9 @@ def _data_dir() -> Optional[str]:
     return d if d and os.path.isdir(d) else None
 
 
-def load_dataset(name: str, scale: float = 1.0, seed: int = 123) -> GraphData:
+def load_dataset(
+    name: str, scale: float = 1.0, seed: int = 123, feat_snr: float = 0.5
+) -> GraphData:
     spec = DATASETS[name]
     d = _data_dir()
     prefix = os.path.join(d, name) if d else None
@@ -83,7 +85,7 @@ def load_dataset(name: str, scale: float = 1.0, seed: int = 123) -> GraphData:
         csr = rmat_graph(v, e, seed=seed)
         feats, labels, masks = planted_partition_data(
             csr, spec.feat_dim, spec.num_classes, seed=seed,
-            multilabel=spec.multilabel,
+            multilabel=spec.multilabel, feat_snr=feat_snr,
         )
         if name == "ogbn-proteins":
             # the proteins regime has EDGE features only; node features

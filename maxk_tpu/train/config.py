@@ -29,6 +29,11 @@ class TrainConfig:
     seed: int = 97
     path: str = "experiment"
     data_scale: float = 1.0
+    # synthetic-task difficulty: feature SNR of the planted-partition
+    # generator. The round-1 default (0.5) saturates (models reach ~100%);
+    # the k-sweep accuracy protocol uses lower values so maxk-vs-relu
+    # deltas are measurable (VERDICT weak #6). Ignored for real binaries.
+    feat_snr: float = 0.5
     enable_lookahead: bool = False
     save_model: bool = False
     evaluate: str = ""  # checkpoint path: eval-only mode

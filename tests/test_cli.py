@@ -49,6 +49,29 @@ def test_spgemm_study_tiny(capsys):
     assert payload["best_arm"]
 
 
+def test_ksweep_tiny(capsys):
+    from maxk_tpu.bench.ksweep import main
+
+    results = main(
+        [
+            "--datasets", "flickr",
+            "--models", "sage",
+            "--k", "4",
+            "--scale", "0.005",
+            "--epochs", "3",
+            "--hidden_dim", "16",
+            "--hidden_layers", "2",
+            "--kernel_mode", "segsum",
+        ]
+    )
+    assert {r["arm"] for r in results} == {"relu", "maxk_k4"}
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    payload = json.loads(line)
+    assert payload["protocol"]["feat_snr"] == 0.15
+    assert payload["vs_relu"][0]["arm"] == "maxk_k4"
+    assert "acc_delta" in payload["vs_relu"][0]
+
+
 def test_plots_from_bench(tmp_path):
     from maxk_tpu.bench.plots import plot_kernel_bench
 

@@ -29,7 +29,9 @@ def main(argv=None):
     logger.info(f"devices: {jax.devices()}")
 
     np.random.seed(cfg.seed)
-    data = load_dataset(cfg.dataset, scale=cfg.data_scale, seed=123)
+    data = load_dataset(
+        cfg.dataset, scale=cfg.data_scale, seed=123, feat_snr=cfg.feat_snr
+    )
     logger.info(
         f"dataset {cfg.dataset}: V={data.csr.num_nodes} E={data.csr.nnz} "
         f"F={data.feat_dim} C={data.num_classes} multilabel={data.multilabel}"
