@@ -133,13 +133,31 @@ def main():
     # arm split: strip-only vs tail-only timing
     from maxk_tpu.ops.spmm_xla import spmm_tiles_scan as _scan
 
-    xt = x.astype(jnp.bfloat16) if args.tail_bf16 else x
     tailf = jax.jit(
         lambda tt, xx: _scan(tt, xx, chunk=args.tail_chunk)
     )
-    t_tail = timeit(tailf, h.tail_tiles, xt)
-    log(f"  tail arm alone ({xt.dtype}, chunk={args.tail_chunk}): "
-        f"{t_tail*1e3:.2f} ms")
+    for xt in (x, x.astype(jnp.bfloat16)):
+        t_tail = timeit(tailf, h.tail_tiles, xt)
+        log(f"  tail arm alone ({xt.dtype}, chunk={args.tail_chunk}): "
+            f"{t_tail*1e3:.2f} ms")
+
+    # matmul arm breakdown (strip dtype inputs)
+    s = h.s_cols
+    xc = x.astype(h.strip.dtype)
+    if h.padded_nodes != v:
+        xc = jnp.pad(xc, ((0, h.padded_nodes - v), (0, 0)))
+    xh = xc[:s]
+    m1 = jax.jit(lambda w, a: jnp.dot(w, a, preferred_element_type=jnp.float32))
+    t1 = timeit(m1, h.strip, xh)
+    log(f"  W@xh (hub cols): {t1*1e3:.2f} ms")
+    m2 = jax.jit(lambda w, a: jnp.einsum(
+        "vs,vd->sd", w, a, preferred_element_type=jnp.float32))
+    t2 = timeit(m2, h.strip, xc)
+    log(f"  W^T@xc (hub rows): {t2*1e3:.2f} ms")
+    m3 = jax.jit(lambda w, a: jnp.dot(
+        w[: a.shape[0]], a, preferred_element_type=jnp.float32))
+    t3 = timeit(m3, h.strip, xh)
+    log(f"  W[:s]@xh (corner): {t3*1e3:.2f} ms")
 
 
 if __name__ == "__main__":

@@ -51,6 +51,9 @@ from maxk_tpu.sparse.meta import (
 )
 
 STRIP_COLS = 16384  # default hub-strip width (probe-tuned for reddit)
+# tail tiles: the post-strip remainder is low-degree, so 256-edge tiles
+# waste ~2/3 of their slots as padding; 128 measured best (probe_hybrid)
+TAIL_EDGE_TILE = 128
 
 # planning constants (measured, docs/PERF.md): the XLA gather wall and the
 # practical bf16 MXU rate on one v5e chip
@@ -166,7 +169,7 @@ def build_hybrid(
     norm: str = "none",
     strip_dtype=jnp.bfloat16,
     row_block: int = ROW_BLOCK,
-    edge_tile: int = EDGE_TILE,
+    edge_tile: int = TAIL_EDGE_TILE,
 ) -> HybridSchedule:
     """Host (numpy) build. `csr` must already be degree-permuted
     (`permute_csr(csr, degree_perm(csr))`) and RAW-value-symmetric; `norm`
@@ -263,7 +266,7 @@ def build_hybrid_device(
     norm: str = "none",
     strip_dtype=jnp.bfloat16,
     row_block: int = ROW_BLOCK,
-    edge_tile: int = EDGE_TILE,
+    edge_tile: int = TAIL_EDGE_TILE,
 ) -> HybridSchedule:
     """On-device build (jit; one-time per graph). Same semantics as
     `build_hybrid`."""

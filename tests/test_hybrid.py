@@ -131,7 +131,9 @@ def test_build_graph_hybrid_spmm_and_maxk_modes():
             spmm_segsum(g.csr, cbsr_densify(cbsr.replace(values=v), D)), ct
         )
     )(cbsr.values)
-    np.testing.assert_allclose(np.asarray(gv), np.asarray(gv_ref), atol=1e-2)
+    # 2e-2: the tail arm gathers (and backpropagates) in the bf16 strip
+    # dtype, so single-element rounding can reach ~1.3e-2 absolute here
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(gv_ref), atol=2e-2)
 
 
 def test_hybrid_rejects_directed_graph():
