@@ -104,10 +104,14 @@ def main():
     # backward (A^T) arm gets a real device transpose + its own schedule
     # (the hybrid needs neither: its symmetric core self-transposes)
     gt = g if mode == "hybrid" else csr_transpose_device(g)
+    # the baseline arm is the library path (tiles_scan on TPU): the
+    # protocol compares the production kernel against it, mirroring
+    # main.cu's kernel-vs-cuSPARSE comparison
+    base_mode = "segsum" if not on_tpu or mode == "segsum" else "tiles_scan"
     tiles = tiles_t = None
-    if mode in ("pallas", "tiles_xla", "tiles_scan"):
+    if mode in ("pallas", "tiles_xla", "tiles_scan") or base_mode == "tiles_scan":
         tiles = build_edge_tiles_device(g)
-        tiles_t = build_edge_tiles_device(gt)
+        tiles_t = tiles if mode == "hybrid" else build_edge_tiles_device(gt)
     graph = Graph(csr=g, csc=gt, tiles=tiles, tiles_t=tiles_t, hybrid=hybrid)
 
     v_pad = v
@@ -132,9 +136,9 @@ def main():
     t_fwd = timeit(fwd, graph, cbsr, iters=8)
     log(f"maxk fwd k={k}: {t_fwd*1e3:.3f} ms -> {e_real/t_fwd/1e9:.3f} Gnnz/s")
 
-    baseline = jax.jit(lambda g_, x: spmm(g_, x, mode=mode))
+    baseline = jax.jit(lambda g_, x: spmm(g_, x, mode=base_mode))
     t_base = timeit(baseline, graph, x_dense, iters=8)
-    log(f"dense f32 baseline: {t_base*1e3:.3f} ms "
+    log(f"dense f32 baseline ({base_mode}): {t_base*1e3:.3f} ms "
         f"({e_real/t_base/1e9:.3f} Gnnz/s)")
 
     # backward (SSpMM role): vjp at a random cotangent

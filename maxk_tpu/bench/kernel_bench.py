@@ -58,16 +58,22 @@ def validate_graph(graph, cbsr, dim, mode, tol=1e-3):
     """Kernel output vs the segment-sum oracle — the role of
     `validate_against_cusparse` (`direct_kernel_interface.py:221-372`),
     including its max-error forensics."""
+    import jax
     import jax.numpy as jnp
 
     from maxk_tpu.ops.spgemm import maxk_spgemm
-    from maxk_tpu.ops.spmm_xla import spmm_segsum
+    from maxk_tpu.ops.spmm_xla import spmm_segsum, spmm_segsum_scan
     from maxk_tpu.sparse.cbsr import cbsr_densify
 
     y = np.asarray(maxk_spgemm(graph, cbsr, dim=dim, mode=mode))
-    ref = np.asarray(
-        spmm_segsum(graph.csr, cbsr_densify(cbsr, dim))
+    # one-shot oracle while its (E, D) gather intermediate fits; the
+    # edge-chunked scan oracle (same math, raw CSR — independent of the
+    # tile/hybrid schedules) at full graph scale
+    e = graph.csr.nnz
+    oracle = (
+        spmm_segsum if e * dim * 4 < 2**31 else jax.jit(spmm_segsum_scan)
     )
+    ref = np.asarray(oracle(graph.csr, cbsr_densify(cbsr, dim)))
     err = np.abs(y - ref)
     max_err = float(err.max())
     mean_err = float(err.mean())
@@ -138,9 +144,19 @@ def main(argv=None):
             )
         g = with_norm(g, "right")
         e_real = int(np.asarray(jnp.sum(g.values != 0)))
+        # the baseline arm is the LIBRARY path — plain XLA over the tile
+        # schedule (tiles_scan; segsum when tiles aren't built). This is
+        # the cuSPARSE role of `kernels/main.cu`: the reference times its
+        # hand-built kernel against the vendor library, not against
+        # itself. The maxk arm runs the resolved production kernel.
+        base_mode = (
+            "segsum" if mode == "segsum" or jax.default_backend() == "cpu"
+            else "tiles_scan"
+        )
         tiles = (
             build_edge_tiles_device(g)
             if mode in ("pallas", "tiles_xla", "tiles_scan")
+            or base_mode == "tiles_scan"
             else None
         )
         graph = Graph(csr=g, csc=g, tiles=tiles, tiles_t=tiles, hybrid=hybrid)
@@ -153,13 +169,14 @@ def main(argv=None):
         # graph passed as jit argument, never closed over (remote-compile
         # ships closures as constants)
         t_base = timeit(
-            jax.jit(lambda g_, x: spmm(g_, x, mode=mode)), graph, x_dense, iters=4
+            jax.jit(lambda g_, x: spmm(g_, x, mode=base_mode)),
+            graph, x_dense, iters=4,
         )
         print(f"{n} {name} {args.dim} - cusparse_role {t_base*1e3:.4f}")
         # bf16 baseline arm: like-for-like dtype with the maxk path
         t_base16 = timeit(
             jax.jit(
-                lambda g_, x: spmm(g_, x.astype(jnp.bfloat16), mode=mode)
+                lambda g_, x: spmm(g_, x.astype(jnp.bfloat16), mode=base_mode)
             ),
             graph,
             x_dense,
@@ -205,6 +222,7 @@ def main(argv=None):
                 "E": e_real,
                 "k": k,
                 "mode": mode,
+                "base_mode": base_mode,
                 "t_fwd_ms": t_fwd * 1e3,
                 "t_fwd_bwd_ms": t_fb * 1e3,
                 "t_baseline_ms": t_base * 1e3,

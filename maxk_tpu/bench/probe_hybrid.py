@@ -133,12 +133,12 @@ def main():
     # arm split: strip-only vs tail-only timing
     from maxk_tpu.ops.spmm_xla import spmm_tiles_scan as _scan
 
-    tailf = jax.jit(
-        lambda tt, xx: _scan(tt, xx, chunk=args.tail_chunk)
-    )
-    for xt in (x, x.astype(jnp.bfloat16)):
-        t_tail = timeit(tailf, h.tail_tiles, xt)
-        log(f"  tail arm alone ({xt.dtype}, chunk={args.tail_chunk}): "
+    for chunk in (args.tail_chunk, args.tail_chunk * 2):
+        tailf = jax.jit(
+            lambda tt, xx, c=chunk: _scan(tt, xx, chunk=c)
+        )
+        t_tail = timeit(tailf, h.tail_tiles, x)
+        log(f"  tail arm alone ({x.dtype}, chunk={chunk}): "
             f"{t_tail*1e3:.2f} ms")
 
     # matmul arm breakdown (strip dtype inputs)

@@ -49,11 +49,8 @@ def spmm_hybrid(
     y = jax.lax.dynamic_update_slice(y, y[:s] + yh, (0, 0))
     y = y[:v]
 
-    # tail arm: rows≥S × cols≥S leftover edges on the gather path.
-    # Gather in the strip dtype: the XLA row gather is bandwidth-
-    # sensitive (measured 2.7× faster in bf16 than f32 at 0.5× reddit);
-    # tiles_scan accumulates cross-tile sums in f32 regardless.
-    y = y + spmm_tiles_scan(
-        h.tail_tiles, xs.astype(h.strip.dtype)
-    ).astype(jnp.float32)
+    # tail arm: rows≥S × cols≥S leftover edges on the gather path, in the
+    # input dtype (measured at reddit scale: bf16 gather is NOT faster —
+    # the row gather is issue-rate-bound there, and the extra cast loses)
+    y = y + spmm_tiles_scan(h.tail_tiles, xs).astype(jnp.float32)
     return (y * post[:, None]).astype(x.dtype)

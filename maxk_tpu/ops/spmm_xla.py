@@ -31,6 +31,51 @@ def spmm_segsum(g: CSRGraph, x: jax.Array) -> jax.Array:
     )
 
 
+def spmm_segsum_scan(
+    g: CSRGraph, x: jax.Array, edge_chunk: int = 1 << 20
+) -> jax.Array:
+    """Memory-bounded exact oracle: `spmm_segsum` with the O(E·D) gather
+    intermediate chunked to `edge_chunk` edges via lax.scan.
+
+    Independent of the tile tables (it reads raw CSR), so it validates
+    the tile/hybrid builders too — the full-graph-scale role of
+    `check_err` / `validate_against_cusparse` (`kernels/main.cu:19-48`,
+    `direct_kernel_interface.py:221-372`), where the one-shot oracle's
+    (E, D) intermediate would not fit (reddit: 114M edges × 256 f32).
+    Accumulates in f32 regardless of x.dtype.
+    """
+    e = g.nnz
+    v = g.num_nodes
+    rows = g.row_ids()
+    nc = -(-e // edge_chunk)
+    pad = nc * edge_chunk - e
+    # padded slots scatter to segment id V → dropped by segment_sum
+    rows = jnp.pad(rows, (0, pad), constant_values=v)
+    cols = jnp.pad(g.indices, (0, pad))
+    vals = jnp.pad(g.values, (0, pad))
+
+    def step(acc, inp):
+        r, c, w = inp
+        gathered = x[c] * w[:, None].astype(x.dtype)
+        part = jax.ops.segment_sum(
+            gathered.astype(jnp.float32), r, num_segments=v,
+            indices_are_sorted=True,
+        )
+        return acc + part, None
+
+    acc = jnp.zeros((v, x.shape[1]), dtype=jnp.float32)
+    acc, _ = jax.lax.scan(
+        step,
+        acc,
+        (
+            rows.reshape(nc, edge_chunk),
+            cols.reshape(nc, edge_chunk),
+            vals.reshape(nc, edge_chunk),
+        ),
+    )
+    return acc.astype(x.dtype)
+
+
 def spmm_tiles_xla(tiles: EdgeTiles, x: jax.Array) -> jax.Array:
     """CSR SpMM over the edge-tile schedule, in plain XLA.
 

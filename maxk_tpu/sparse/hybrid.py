@@ -52,8 +52,10 @@ from maxk_tpu.sparse.meta import (
 
 STRIP_COLS = 16384  # default hub-strip width (probe-tuned for reddit)
 # tail tiles: the post-strip remainder is low-degree, so 256-edge tiles
-# waste ~2/3 of their slots as padding; 128 measured best (probe_hybrid)
-TAIL_EDGE_TILE = 128
+# waste ~2/3 of their slots as padding. Measured full-scale reddit tail
+# (5.2M live edges): T=256 → 12.7M slots/184 ms, T=128 → 9.0M/121 ms,
+# T=64 → 7.1M/91 ms (probe_hybrid)
+TAIL_EDGE_TILE = 64
 
 # planning constants (measured, docs/PERF.md): the XLA gather wall and the
 # practical bf16 MXU rate on one v5e chip

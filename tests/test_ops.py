@@ -34,6 +34,18 @@ def test_spmm_segsum_matches_scipy(small_graph):
     np.testing.assert_allclose(np.asarray(y), expect, rtol=1e-4, atol=1e-4)
 
 
+def test_spmm_segsum_scan_matches_oneshot(small_graph):
+    from maxk_tpu.ops.spmm_xla import spmm_segsum_scan
+
+    g = with_norm(small_graph, "right")
+    x = _x(small_graph)
+    # edge_chunk far below E so the scan really splits rows across chunks
+    y = spmm_segsum_scan(g, x, edge_chunk=32)
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(spmm_segsum(g, x)), rtol=1e-4, atol=1e-4
+    )
+
+
 def test_spmm_tiles_matches_segsum(small_graph):
     g = with_norm(small_graph, "right")
     x = _x(small_graph)
