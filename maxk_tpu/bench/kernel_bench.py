@@ -48,6 +48,19 @@ def load_suite(args):
             yield name, load_graph_binary(prefix)
         return
     for name in args.graphs:
+        if name.startswith("rmat_"):
+            # degree-spread family approximating the reference's 24-graph
+            # suite axis (`kernels/main.cu:196-218`; speedup claims are
+            # conditioned on avg degree > 50, `README.md:136`). Spec:
+            # rmat_v<nodes>_d<avg_degree>, scaled like named datasets.
+            parts = dict(
+                (p[0], int(p[1:])) for p in name.split("_")[1:]
+            )
+            v = max(int(parts.get("v", 262144) * args.scale), 64)
+            e = max(int(parts.get("v", 262144) * parts.get("d", 50)
+                        * args.scale), 256)
+            yield name, rmat_graph_device(v, e, seed=123)
+            continue
         spec = DATASETS[name]
         v = max(int(spec.num_nodes * args.scale), 64)
         e = max(int(spec.num_edges * args.scale), 256)

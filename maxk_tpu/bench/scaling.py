@@ -1,0 +1,150 @@
+"""Multi-chip scaling-efficiency artifact (virtual mesh).
+
+The reference is single-GPU by design (SURVEY §2.3: no distributed
+machinery of any kind); multi-chip row-partitioned training is this
+framework's new capability. This driver measures STRONG scaling of the
+sharded train step over an n-device mesh for n ∈ {1,2,4,8}:
+
+  - the maxk arm all_gathers COMPRESSED (V,k) CBSR values+selectors over
+    the mesh axis (`ops/spgemm.py:_maxk_spgemm`), the relu arm gathers
+    dense (V,D) rows — the artifact records both measured step times and
+    the analytic per-layer collective bytes, so the compressed-collective
+    advantage is visible independently of the mesh fabric.
+
+On real ICI the gathers ride 45 GB/s+ links; on the virtual CPU mesh
+(`xla_force_host_platform_device_count`) collectives are memcpys, so
+CPU numbers show *relative* scaling of the compiled SPMD program, not
+hardware throughput. The driver runs this on whatever devices exist.
+
+Usage:
+  python -m maxk_tpu.bench.scaling [--dataset flickr --scale 0.2]
+Emits ONE JSON line: per (arm, n) mean step ms + analytic bytes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", default="flickr")
+    p.add_argument("--scale", type=float, default=0.2)
+    p.add_argument("--model", default="sage")
+    p.add_argument("--maxk", type=int, default=32)
+    p.add_argument("--hidden_dim", type=int, default=256)
+    p.add_argument("--hidden_layers", type=int, default=3)
+    p.add_argument("--devices", nargs="+", type=int, default=[1, 2, 4, 8])
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--kernel_mode", default="tiles_scan")
+    args = p.parse_args(argv)
+
+    import os
+
+    os.environ.setdefault(
+        "XLA_FLAGS", "--xla_force_host_platform_device_count=8"
+    )
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.maxk_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    devices = jax.devices()
+    if devices[0].platform != "tpu":
+        os.environ["MAXK_TPU_DISABLE_PALLAS"] = "1"
+
+    from maxk_tpu.data.datasets import load_dataset
+    from maxk_tpu.parallel.mesh import make_mesh
+    from maxk_tpu.parallel.train import make_sharded_train_step, sharded_setup
+    from maxk_tpu.train.config import TrainConfig
+
+    data = load_dataset(args.dataset, scale=args.scale, seed=123)
+    v, e = data.csr.num_nodes, int(np.asarray(data.csr.indptr[-1]))
+    d, k, nl = args.hidden_dim, args.maxk, args.hidden_layers
+    log(f"{args.dataset} x{args.scale}: V={v} E={e} "
+        f"{args.model} {nl}x{d} k={k} on {devices[0].platform}")
+
+    results = []
+    for nonlinear in ("maxk", "relu"):
+        for n in args.devices:
+            if n > len(devices):
+                log(f"skip n={n}: only {len(devices)} devices")
+                continue
+            mesh = make_mesh(devices=devices[:n])
+            cfg = TrainConfig(
+                dataset=args.dataset, model=args.model, epochs=1,
+                hidden_dim=d, hidden_layers=nl, nonlinear=nonlinear,
+                maxk=k, dropout=0.0, kernel_mode=args.kernel_mode,
+                data_scale=args.scale, seed=97,
+            )
+            model, variables, opt_state, sgraph, arrays, tx = sharded_setup(
+                cfg, data, mesh
+            )
+            step = make_sharded_train_step(model, tx, data.multilabel, mesh)
+            rng = jax.random.PRNGKey(0)
+            sa = (arrays["feats"], arrays["labels"], arrays["train"])
+            # warmup (compile + first run)
+            variables, opt_state, loss, _ = step(
+                variables, opt_state, rng, sgraph, *sa
+            )
+            jax.block_until_ready(loss)
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                variables, opt_state, loss, _ = step(
+                    variables, opt_state, rng, sgraph, *sa
+                )
+            jax.block_until_ready(loss)
+            ms = (time.perf_counter() - t0) / args.iters * 1e3
+            assert np.isfinite(float(loss)), float(loss)
+            # analytic per-layer forward all_gather volume (bytes moved
+            # per device): compressed CBSR vs dense rows
+            fwd_bytes = v * (k * 8) if nonlinear == "maxk" else v * (d * 4)
+            rec = {
+                "arm": nonlinear, "n": n, "step_ms": round(ms, 2),
+                "fwd_allgather_bytes_per_layer": fwd_bytes,
+            }
+            results.append(rec)
+            log(f"  {nonlinear} n={n}: {ms:.2f} ms/step "
+                f"loss={float(loss):.4f}")
+
+    # strong-scaling vs n=1 of the same arm. Two readings:
+    #   efficiency_chips  = base/(n·ms) — the real-hardware formula, valid
+    #                       when each device is its own chip (TPU)
+    #   efficiency_shared = base/ms — virtual CPU devices share one core
+    #     pool, so total work is fixed and the ideal is a FLAT step time;
+    #     a flat curve means partitioning+collectives add no overhead
+    for r in results:
+        base = next(
+            (b for b in results if b["arm"] == r["arm"] and b["n"] == 1), None
+        )
+        if base:
+            r["efficiency_chips"] = round(
+                base["step_ms"] / (r["step_ms"] * r["n"]), 3
+            )
+            r["efficiency_shared"] = round(base["step_ms"] / r["step_ms"], 3)
+    print(json.dumps({
+        "protocol": {
+            "dataset": args.dataset, "scale": args.scale, "V": v, "E": e,
+            "model": args.model, "hidden_dim": d, "layers": nl, "k": k,
+            "platform": devices[0].platform, "iters": args.iters,
+            "note": "CPU virtual mesh: relative scaling of the SPMD "
+                    "program, not fabric throughput",
+        },
+        "results": results,
+        "compressed_collective_ratio": round((k * 8) / (d * 4), 4),
+    }))
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -117,11 +117,16 @@ def main(argv=None):
         arms = {}
 
         # --- segsum_topk (library arm) --------------------------------
-        t_num = timeit(
-            jax.jit(lambda g_, x: spmm(g_, x, mode="segsum")),
-            graph, x_dense, iters=4,
-        )
-        y_ref = jax.jit(lambda g_, x: spmm(g_, x, mode="segsum"))(graph, x_dense)
+        # one-shot segsum while its (E, D) gather intermediate fits;
+        # edge-chunked twin beyond (same math — `spmm_segsum_scan`)
+        if e_real * dim * 4 < 2**31:
+            seg_fn = jax.jit(lambda g_, x: spmm(g_, x, mode="segsum"))
+        else:
+            from maxk_tpu.ops.spmm_xla import spmm_segsum_scan
+
+            seg_fn = jax.jit(lambda g_, x: spmm_segsum_scan(g_.csr, x))
+        t_num = timeit(seg_fn, graph, x_dense, iters=4)
+        y_ref = seg_fn(graph, x_dense)
         t_sym = timeit(prune, y_ref, iters=4)
         arms["segsum_topk"] = {"numeric_ms": t_num * 1e3,
                                "symbolic_ms": t_sym * 1e3}

@@ -26,6 +26,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 ROWS_PER_BLOCK = 512
 
+# Mosaic unrolls the k select/accumulate passes, keeping up to k (RB, D)
+# mask temporaries live in scoped VMEM (16 MB limit — measured OOM at
+# k=64·RB=512·D=256: 23.4 MB). Cap the row block so k·RB·D·4 stays
+# within budget.
+_VMEM_BUDGET = 8 << 20
+
+
+def _rows_per_block(k: int, d: int, v: int) -> int:
+    rb = min(ROWS_PER_BLOCK, _VMEM_BUDGET // max(k * d * 4, 1))
+    rb = max(rb // 8 * 8, 8)
+    return min(rb, max(v // 8 * 8, 8)) if v >= 8 else v
+
 
 def _densify_kernel(k: int, vals_ref, sel_ref, out_ref):
     rb, d = out_ref.shape
@@ -49,7 +61,7 @@ def _sample_kernel(k: int, z_ref, sel_ref, out_ref):
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def _densify_raw(vals, sel, dim, interpret=False):
     v, k = vals.shape
-    rb = min(ROWS_PER_BLOCK, v)
+    rb = _rows_per_block(k, dim, v)
     pad = (-v) % rb
     if pad:
         vals = jnp.pad(vals, ((0, pad), (0, 0)))
@@ -72,7 +84,7 @@ def _densify_raw(vals, sel, dim, interpret=False):
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def _sample_raw(z, sel, k, interpret=False):
     v, d = z.shape
-    rb = min(ROWS_PER_BLOCK, v)
+    rb = _rows_per_block(k, d, v)
     pad = (-v) % rb
     if pad:
         z = jnp.pad(z, ((0, pad), (0, 0)))

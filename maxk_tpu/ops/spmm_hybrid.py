@@ -52,5 +52,7 @@ def spmm_hybrid(
     # tail arm: rows≥S × cols≥S leftover edges on the gather path, in the
     # input dtype (measured at reddit scale: bf16 gather is NOT faster —
     # the row gather is issue-rate-bound there, and the extra cast loses)
-    y = y + spmm_tiles_scan(h.tail_tiles, xs).astype(jnp.float32)
+    y = y + spmm_tiles_scan(
+        h.tail_tiles, xs, chunk=h.tail_chunk
+    ).astype(jnp.float32)
     return (y * post[:, None]).astype(x.dtype)

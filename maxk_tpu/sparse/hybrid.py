@@ -107,6 +107,8 @@ class HybridSchedule:
     tail_tiles: EdgeTiles
     num_nodes: int = struct.field(pytree_node=False, default=0)
     s_cols: int = struct.field(pytree_node=False, default=STRIP_COLS)
+    # tiles per scan step of the tail arm (probe-tunable; spmm_hybrid)
+    tail_chunk: int = struct.field(pytree_node=False, default=256)
 
     @property
     def padded_nodes(self) -> int:
@@ -172,6 +174,7 @@ def build_hybrid(
     strip_dtype=jnp.bfloat16,
     row_block: int = ROW_BLOCK,
     edge_tile: int = TAIL_EDGE_TILE,
+    tail_chunk: int = 256,
 ) -> HybridSchedule:
     """Host (numpy) build. `csr` must already be degree-permuted
     (`permute_csr(csr, degree_perm(csr))`) and RAW-value-symmetric; `norm`
@@ -208,6 +211,7 @@ def build_hybrid(
         tail_tiles=tail_tiles,
         num_nodes=v,
         s_cols=s,
+        tail_chunk=tail_chunk,
     )
 
 
@@ -269,6 +273,7 @@ def build_hybrid_device(
     strip_dtype=jnp.bfloat16,
     row_block: int = ROW_BLOCK,
     edge_tile: int = TAIL_EDGE_TILE,
+    tail_chunk: int = 256,
 ) -> HybridSchedule:
     """On-device build (jit; one-time per graph). Same semantics as
     `build_hybrid`."""
@@ -319,14 +324,16 @@ def build_hybrid_device(
     # and the per-chunk temps (~2 chunk copies live at once).
     w = min(s, 2048, max(128, ((2**31 - 1) // vp) // 128 * 128))
 
-    @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(4,))
-    def strip_chunk(strip, indptr, indices, values, c0):
+    # c0 is TRACED (only the chunk width is static): all full-width
+    # chunks share one executable — remote compiles are minutes each,
+    # and a static c0 would compile ceil(s/w) copies of this scatter
+    @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(5,))
+    def strip_chunk(strip, indptr, indices, values, c0, wc):
         e = indices.shape[0]
         ar = jnp.arange(e, dtype=jnp.int32)
         rows = jnp.searchsorted(indptr, ar, side="right").astype(jnp.int32) - 1
         rows = jnp.clip(rows, 0, v - 1)
         live = (ar < indptr[-1]) & (values != 0)
-        wc = min(w, s - c0)
         in_chunk = live & (indices >= c0) & (indices < c0 + wc)
         idx = jnp.where(in_chunk, rows * wc + (indices - c0), -1)
         chunk = (
@@ -346,7 +353,10 @@ def build_hybrid_device(
     )
     strip = jnp.zeros((vp, s), strip_dtype)
     for c0 in range(0, s, w):
-        strip = strip_chunk(strip, csr.indptr, csr.indices, csr.values, c0)
+        strip = strip_chunk(
+            strip, csr.indptr, csr.indices, csr.values,
+            jnp.int32(c0), min(w, s - c0),
+        )
     # trim the tail arrays to the live tail (one scalar fetch) so the tile
     # tables are sized for ~7% of E, not all of it
     tl = int(np.asarray(tail_indptr[-1]))
@@ -365,4 +375,5 @@ def build_hybrid_device(
         tail_tiles=tail_tiles,
         num_nodes=v,
         s_cols=s,
+        tail_chunk=tail_chunk,
     )
