@@ -55,10 +55,18 @@ def _sharded_spmm(graph, x: jax.Array, transpose: bool) -> jax.Array:
     backward: local A_i^T partials → psum_scatter (reduce + re-partition)
 
     Uses the production tile kernel when the shard carries tile
-    schedules, else the segment-sum path.
+    schedules, else the segment-sum path. Sharded hybrid graphs route
+    both directions through `spmm_hybrid_sharded` (full-feature input:
+    forward gathers x, backward gathers the cotangent — the same bytes
+    the psum_scatter of (Vp, D) partials would move).
     """
     from maxk_tpu.ops.spmm_xla import spmm_tiles_scan
 
+    if graph.hybrid is not None:
+        from maxk_tpu.ops.spmm_hybrid import spmm_hybrid_sharded
+
+        xg = jax.lax.all_gather(x, graph.axis, axis=0, tiled=True)
+        return spmm_hybrid_sharded(graph.hybrid, xg, transpose=transpose)
     if transpose:
         if graph.bwd_tiles is not None:
             z = spmm_tiles_scan(graph.local_bwd_tiles(), x)
@@ -156,6 +164,10 @@ def _maxk_spgemm(dim, mode, compute_dtype, graph, vals, sel):
         x = cbsr_densify(CBSR(values=vals, selector=sel), dim)
         if compute_dtype is not None:
             x = x.astype(compute_dtype)
+        if graph.hybrid is not None:
+            from maxk_tpu.ops.spmm_hybrid import spmm_hybrid_sharded
+
+            return spmm_hybrid_sharded(graph.hybrid, x).astype(out_dtype)
         if graph.fwd_tiles is not None:
             from maxk_tpu.ops.spmm_xla import spmm_tiles_scan
 

@@ -56,3 +56,54 @@ def spmm_hybrid(
         h.tail_tiles, xs, chunk=h.tail_chunk
     ).astype(jnp.float32)
     return (y * post[:, None]).astype(x.dtype)
+
+
+def spmm_hybrid_sharded(h, x: jax.Array, transpose: bool = False) -> jax.Array:
+    """Row-partitioned hybrid SpMM inside shard_map.
+
+    `h` is a `parallel.shard.ShardedHybrid`; `x` is the FULL (Vp, D)
+    feature matrix (the caller has already all_gathered — compressed
+    CBSR in the MaxK path, dense rows otherwise). Returns this device's
+    (Vs, D) output rows.
+
+    Derivation (matches the single-chip operator): for global row r,
+      r <  S:  y[r] = (Wᵀ @ xs)[r]     — symmetry covers ALL columns
+      r >= S:  y[r] = (W_i @ xh)[r]  + tail_i(xs)[r]
+    so the only cross-device term is the (S, D) psum of Wᵀ@xs partials —
+    S·D·4 bytes over ICI, independent of V and E. A^T swaps the diagonal
+    scales, exactly as on one chip (the tail submatrix of a symmetric S
+    is itself symmetric).
+    """
+    s = h.s_cols
+    vs = h.shard_nodes
+    pre, post = (h.local_post(), h.local_pre()) if transpose else (
+        h.local_pre(), h.local_post()
+    )
+    xs = x * pre[:, None].astype(x.dtype)
+    w = h.local_strip()  # (Vs, S)
+    xc = xs.astype(w.dtype)
+    xh = xc[:s]
+
+    idx = jax.lax.axis_index(h.axis)
+    r0 = idx * vs
+    # hub-columns arm — final value for local rows ≥ S
+    y = jnp.dot(w, xh, preferred_element_type=jnp.float32)
+    # hub-rows arm: Wᵀ @ xs reduced over the row shards
+    x_loc = jax.lax.dynamic_slice_in_dim(xc, r0, vs)
+    hub = jax.lax.psum(
+        jnp.einsum("vs,vd->sd", w, x_loc, preferred_element_type=jnp.float32),
+        h.axis,
+    )
+    # local slice of the hub rows (zero-padded; masked to global row < S)
+    hp_rows = max(-(-s // vs) * vs, vs)
+    hub = jnp.pad(hub, ((0, hp_rows - s), (0, 0)))
+    start = jnp.minimum(r0, hp_rows - vs)
+    hslice = jax.lax.dynamic_slice(hub, (start, 0), (vs, hub.shape[1]))
+    grow = r0 + jnp.arange(vs, dtype=jnp.int32)
+    y = jnp.where((grow < s)[:, None], hslice, y)
+
+    y = y + spmm_tiles_scan(
+        h.local_tail_tiles(), xs, chunk=h.tail_chunk
+    ).astype(jnp.float32)
+    post_loc = jax.lax.dynamic_slice_in_dim(post, r0, vs)
+    return (y * post_loc[:, None]).astype(x.dtype)

@@ -23,5 +23,13 @@ def make_mesh(
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
+            if len(devices) < n_devices:
+                raise ValueError(
+                    f"mesh wants {n_devices} devices but the "
+                    f"{devices[0].platform} platform has {len(devices)}; "
+                    "pass devices=jax.devices('cpu') with XLA_FLAGS="
+                    "--xla_force_host_platform_device_count=N for a "
+                    "virtual mesh"
+                )
             devices = devices[:n_devices]
     return Mesh(list(devices), (GRAPH_AXIS,))

@@ -48,6 +48,9 @@ class ShardedGraph:
     bwd_values: jax.Array
     fwd_tiles: Optional[dict] = None  # {block, cols, vals, localrow} stacked
     bwd_tiles: Optional[dict] = None
+    # row-partitioned strip-hybrid schedule (undirected high-degree
+    # graphs); when set, aggregation goes through `spmm_hybrid_sharded`
+    hybrid: Optional["ShardedHybrid"] = None
     axis: str = struct.field(pytree_node=False, default=GRAPH_AXIS)
     num_shards: int = struct.field(pytree_node=False, default=1)
     num_nodes: int = struct.field(pytree_node=False, default=0)
@@ -74,18 +77,7 @@ class ShardedGraph:
         )
 
     def _local_tiles(self, stacked: dict, num_rows: int):
-        from maxk_tpu.sparse.meta import EdgeTiles
-
-        nt, t = stacked["cols"].shape[-2:]
-        return EdgeTiles(
-            block=stacked["block"].reshape(nt),
-            cols=stacked["cols"].reshape(nt, t),
-            vals=stacked["vals"].reshape(nt, t),
-            localrow=stacked["localrow"].reshape(nt, t),
-            row_block=self.row_block,
-            num_row_blocks=-(-num_rows // self.row_block),
-            num_nodes=num_rows,
-        )
+        return _local_tiles_from_stacked(stacked, num_rows, self.row_block)
 
     def local_fwd_tiles(self):
         return self._local_tiles(self.fwd_tiles, self.shard_nodes)
@@ -101,6 +93,176 @@ def _pad_to(x: np.ndarray, n: int, fill=0) -> np.ndarray:
     return np.concatenate([x, pad])
 
 
+def _local_tiles_from_stacked(stacked: dict, num_rows: int, row_block: int):
+    """EdgeTiles view of one shard's stacked tile tables (leading axis 1,
+    as seen inside shard_map)."""
+    from maxk_tpu.sparse.meta import EdgeTiles
+
+    nt, t = stacked["cols"].shape[-2:]
+    return EdgeTiles(
+        block=stacked["block"].reshape(nt),
+        cols=stacked["cols"].reshape(nt, t),
+        vals=stacked["vals"].reshape(nt, t),
+        localrow=stacked["localrow"].reshape(nt, t),
+        row_block=row_block,
+        num_row_blocks=-(-num_rows // row_block),
+        num_nodes=num_rows,
+    )
+
+
+def _stack_tiles(blocks, rows: int, row_block: int, edge_tile: int) -> dict:
+    """Per-shard edge-tile schedules from scipy CSR blocks, padded with
+    inert tiles to the max shard tile count and stacked on a leading
+    mesh axis."""
+    from maxk_tpu.sparse.meta import build_edge_tiles
+
+    tiles = []
+    for b in blocks:
+        gb = CSRGraph(
+            indptr=jnp.asarray(b.indptr.astype(np.int32)),
+            indices=jnp.asarray(b.indices.astype(np.int32)),
+            values=jnp.asarray(b.data.astype(np.float32)),
+        )
+        tiles.append(build_edge_tiles(gb, row_block, edge_tile))
+    ntm = max(t.num_tiles for t in tiles)
+    nb = -(-rows // row_block)
+
+    def padt(t):
+        pad = ntm - t.num_tiles
+        return {
+            "block": np.pad(np.asarray(t.block), (0, pad), constant_values=nb - 1),
+            "cols": np.pad(np.asarray(t.cols), ((0, pad), (0, 0))),
+            "vals": np.pad(np.asarray(t.vals), ((0, pad), (0, 0))),
+            "localrow": np.pad(np.asarray(t.localrow), ((0, pad), (0, 0))),
+        }
+
+    stacked = [padt(t) for t in tiles]
+    return {
+        k: jnp.asarray(np.stack([s[k] for s in stacked])) for k in stacked[0]
+    }
+
+
+@struct.dataclass
+class ShardedHybrid:
+    """Row-partitioned symmetric-strip schedule (multi-chip twin of
+    `sparse.hybrid.HybridSchedule`).
+
+    Device i owns output rows [i·Vs, (i+1)·Vs):
+      strip:      (n, Vs, S)  its row block W_i of the hub strip
+      pre/post:   (n, Vp)     FULL diagonal scales, broadcast-stacked —
+                              the forward scales the gathered full
+                              features, so every device needs all of pre
+      tail_tiles: stacked     edge tiles of its tail block (local rows
+                              ≥S, global cols ≥S)
+
+    The tail submatrix of a value-symmetric S is itself symmetric, so the
+    same schedule serves A and A^T (swap the scales) — exactly like the
+    single-chip hybrid, per shard.
+    """
+
+    strip: jax.Array
+    pre: jax.Array
+    post: jax.Array
+    tail_tiles: dict
+    axis: str = struct.field(pytree_node=False, default=GRAPH_AXIS)
+    s_cols: int = struct.field(pytree_node=False, default=0)
+    num_nodes: int = struct.field(pytree_node=False, default=0)
+    padded_nodes: int = struct.field(pytree_node=False, default=0)
+    num_shards: int = struct.field(pytree_node=False, default=1)
+    row_block: int = struct.field(pytree_node=False, default=8)
+    tail_chunk: int = struct.field(pytree_node=False, default=256)
+
+    @property
+    def shard_nodes(self) -> int:
+        return self.padded_nodes // self.num_shards
+
+    def local_strip(self) -> jax.Array:
+        return self.strip.reshape(self.shard_nodes, self.s_cols)
+
+    def local_pre(self) -> jax.Array:
+        return self.pre.reshape(-1)
+
+    def local_post(self) -> jax.Array:
+        return self.post.reshape(-1)
+
+    def local_tail_tiles(self):
+        return _local_tiles_from_stacked(
+            self.tail_tiles, self.shard_nodes, self.row_block
+        )
+
+
+def build_sharded_hybrid(
+    csr: CSRGraph,
+    num_shards: int,
+    s_cols: Optional[int] = None,
+    norm: str = "none",
+    strip_dtype=jnp.bfloat16,
+    row_block: int = 8,
+    edge_tile: int = 64,
+    tail_chunk: int = 256,
+) -> ShardedHybrid:
+    """Host build of the row-partitioned strip hybrid.
+
+    `csr` must already be degree-permuted and raw-value-symmetric (the
+    `build_hybrid` contract); `norm` only sets the diagonal scales. The
+    strip — the memory-dominant piece (Vp·S bf16) — is what actually
+    shards: each device holds Vp·S/n of it, so graphs whose strip busts
+    a single chip's HBM become feasible at n chips.
+    """
+    import scipy.sparse as sp
+
+    from maxk_tpu.sparse.hybrid import _scales, auto_strip_cols
+
+    v = csr.num_nodes
+    vs = -(-v // num_shards)
+    vp = vs * num_shards
+    s = auto_strip_cols(v) if s_cols is None else s_cols
+    s = min(s, v)
+    s = max(128, (s // 128) * 128) if v >= 128 else v
+
+    indptr = np.asarray(csr.indptr, dtype=np.int64)
+    nnz = int(indptr[-1])
+    cols = np.asarray(csr.indices, dtype=np.int64)[:nnz]
+    vals = np.asarray(csr.values, dtype=np.float32)[:nnz]
+    rows = np.repeat(
+        np.arange(v, dtype=np.int64), np.diff(indptr[: v + 1])
+    )
+    live = vals != 0
+
+    strip = np.zeros((vp, s), dtype=np.float32)
+    m = (cols < s) & live
+    strip[rows[m], cols[m]] = vals[m]
+
+    deg = np.zeros(vp, np.float32)
+    np.add.at(deg, rows[live], 1.0)
+    pre, post = _scales(jnp.asarray(deg), norm)
+
+    mt = (cols >= s) & (rows >= s) & live
+    tr, tc, tv = rows[mt], cols[mt], vals[mt]
+    blocks = []
+    for i in range(num_shards):
+        inb = (tr >= i * vs) & (tr < (i + 1) * vs)
+        b = sp.csr_matrix((tv[inb], (tr[inb] - i * vs, tc[inb])), shape=(vs, vp))
+        b.sort_indices()
+        blocks.append(b)
+    tail_tiles = _stack_tiles(blocks, vs, row_block, edge_tile)
+
+    n = num_shards
+    return ShardedHybrid(
+        strip=jnp.asarray(strip.reshape(n, vs, s)).astype(strip_dtype),
+        pre=jnp.broadcast_to(pre, (n, vp)).copy(),
+        post=jnp.broadcast_to(post, (n, vp)).copy(),
+        tail_tiles=tail_tiles,
+        axis=GRAPH_AXIS,
+        s_cols=s,
+        num_nodes=v,
+        padded_nodes=vp,
+        num_shards=n,
+        row_block=row_block,
+        tail_chunk=tail_chunk,
+    )
+
+
 def build_sharded_graph(
     csr: CSRGraph,
     num_shards: int,
@@ -108,14 +270,37 @@ def build_sharded_graph(
     build_tiles: bool = False,
     row_block: int = 8,
     edge_tile: int = 256,
+    hybrid: bool = False,
+    strip_cols: Optional[int] = None,
+    tail_edge_tile: int = 64,
+    strip_dtype=jnp.bfloat16,
 ) -> ShardedGraph:
     """Host-side partition of a (normalized) CSR over `num_shards` devices.
 
     With `build_tiles`, per-shard edge-tile schedules are built for both
     the local row block and its transpose, so the sharded path runs the
-    same production tile kernels as single-chip (`ops/spgemm`)."""
+    same production tile kernels as single-chip (`ops/spgemm`).
+
+    With `hybrid`, `csr` must already be degree-permuted and
+    raw-value-symmetric (the `build_hybrid` contract — callers permute
+    node data by the same permutation); the row-partitioned strip
+    schedule is attached and aggregation routes through
+    `spmm_hybrid_sharded`. The CSR blocks are still built as the
+    fallback path; a production deployment tight on HBM could skip them.
+    """
     import scipy.sparse as sp
 
+    shyb = None
+    if hybrid:
+        shyb = build_sharded_hybrid(
+            csr,
+            num_shards,
+            s_cols=strip_cols,
+            norm=norm,
+            strip_dtype=strip_dtype,
+            row_block=row_block,
+            edge_tile=tail_edge_tile,
+        )
     g = with_norm(csr, norm)
     v = g.num_nodes
     vs = -(-v // num_shards)
@@ -146,41 +331,8 @@ def build_sharded_graph(
 
     fwd_tiles = bwd_tiles = None
     if build_tiles:
-        from maxk_tpu.sparse.meta import build_edge_tiles
-
-        def stack_tiles(blocks, rows):
-            tiles = []
-            for b in blocks:
-                gb = CSRGraph(
-                    indptr=jnp.asarray(b.indptr.astype(np.int32)),
-                    indices=jnp.asarray(b.indices.astype(np.int32)),
-                    values=jnp.asarray(b.data.astype(np.float32)),
-                )
-                tiles.append(build_edge_tiles(gb, row_block, edge_tile))
-            ntm = max(t.num_tiles for t in tiles)
-            nb = -(-rows // row_block)
-
-            def padt(t):
-                pad = ntm - t.num_tiles
-                return {
-                    "block": np.pad(
-                        np.asarray(t.block), (0, pad), constant_values=nb - 1
-                    ),
-                    "cols": np.pad(np.asarray(t.cols), ((0, pad), (0, 0))),
-                    "vals": np.pad(np.asarray(t.vals), ((0, pad), (0, 0))),
-                    "localrow": np.pad(
-                        np.asarray(t.localrow), ((0, pad), (0, 0))
-                    ),
-                }
-
-            stacked = [padt(t) for t in tiles]
-            return {
-                k: jnp.asarray(np.stack([s[k] for s in stacked]))
-                for k in stacked[0]
-            }
-
-        fwd_tiles = stack_tiles(fwd_blocks, vs)
-        bwd_tiles = stack_tiles(bwd_blocks, vp)
+        fwd_tiles = _stack_tiles(fwd_blocks, vs, row_block, edge_tile)
+        bwd_tiles = _stack_tiles(bwd_blocks, vp, row_block, edge_tile)
 
     return ShardedGraph(
         fwd_indptr=jnp.asarray(fip),
@@ -191,6 +343,7 @@ def build_sharded_graph(
         bwd_values=jnp.asarray(bvl),
         fwd_tiles=fwd_tiles,
         bwd_tiles=bwd_tiles,
+        hybrid=shyb,
         axis=GRAPH_AXIS,
         num_shards=num_shards,
         num_nodes=v,

@@ -139,14 +139,44 @@ def sharded_setup(
         kernel_mode=cfg.kernel_mode,
         compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None,
     )
+    # hybrid decision mirrors the single-device setup (train/loop.py):
+    # explicit kernel_mode='hybrid', or auto + TPU + profitable density.
+    # The sharded builder needs the degree-permuted CSR up front, so the
+    # permutation (and matching node-data permutation) happens here.
+    want_hybrid = cfg.kernel_mode == "hybrid"
+    if cfg.kernel_mode == "auto" and jax.default_backend() == "tpu":
+        from maxk_tpu.sparse.hybrid import hybrid_profitable
+
+        e_live = int(np.asarray(data.csr.indptr[-1]))
+        want_hybrid = hybrid_profitable(data.csr.num_nodes, e_live)
+    csr = data.csr
+    if want_hybrid:
+        from maxk_tpu.sparse.hybrid import check_hybrid_ok, degree_perm, permute_csr
+
+        if check_hybrid_ok(csr):
+            from dataclasses import replace
+
+            perm = degree_perm(csr)
+            csr = permute_csr(csr, perm)
+            data = replace(
+                data,
+                features=np.asarray(data.features)[perm],
+                labels=np.asarray(data.labels)[perm],
+                train_mask=np.asarray(data.train_mask)[perm],
+                val_mask=np.asarray(data.val_mask)[perm],
+                test_mask=np.asarray(data.test_mask)[perm],
+            )
+        else:
+            want_hybrid = False  # directed graph: strip symmetry unavailable
     build_tiles = cfg.kernel_mode in ("auto", "pallas", "tiles_xla", "tiles_scan")
     sgraph = build_sharded_graph(
-        data.csr,
+        csr,
         n,
         norm=gnorm,
-        build_tiles=build_tiles,
+        build_tiles=build_tiles and not want_hybrid,
         row_block=cfg.row_block,
         edge_tile=cfg.edge_tile,
+        hybrid=want_hybrid,
     )
 
     row = NamedSharding(mesh, P(GRAPH_AXIS))
@@ -177,7 +207,8 @@ def sharded_setup(
     from maxk_tpu.sparse.graph import build_graph as _build_graph
 
     nv = 16
-    # tiles built too so any explicit tiles_* kernel_mode can init
+    # tiles (and, when requested, a strip schedule) built too so any
+    # explicit kernel_mode can init
     eye = _build_graph(
         CSRGraph(
             indptr=jnp.arange(nv + 1, dtype=jnp.int32),
@@ -187,6 +218,7 @@ def sharded_setup(
         norm="none",
         build_tiles=True,
         symmetric=True,
+        hybrid=cfg.kernel_mode == "hybrid",
     )
     rng = jax.random.PRNGKey(cfg.seed)
     with jax.default_device(jax.devices()[0]):

@@ -238,3 +238,100 @@ def test_sharded_agg_uses_post_densify_transform(small_graph):
     np.testing.assert_allclose(
         np.asarray(out)[:v], np.asarray(ref), atol=1e-4
     )
+
+
+def test_sharded_hybrid_matches_single(small_graph):
+    """Row-partitioned strip hybrid == single-device result (fwd, A^T,
+    and the maxk_spgemm gradient) on a degree-permuted symmetric graph."""
+    from maxk_tpu.sparse.hybrid import check_hybrid_ok, degree_perm, permute_csr
+
+    assert check_hybrid_ok(small_graph)
+    pcsr = permute_csr(small_graph, degree_perm(small_graph))
+    v = pcsr.num_nodes
+    mesh = make_mesh(N_DEV)
+    sgraph = build_sharded_graph(
+        pcsr, N_DEV, norm="right", hybrid=True,
+        strip_cols=128, strip_dtype=jnp.float32,
+    )
+    assert sgraph.hybrid is not None
+    g1 = build_graph(pcsr, norm="right", build_tiles=False)
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((v, D)).astype(np.float32)
+    ct = rng.standard_normal((v, D)).astype(np.float32)
+    xp = jnp.asarray(shard_rows(x, N_DEV))
+    ctp = jnp.asarray(shard_rows(ct, N_DEV))
+
+    y_sh = _sharded_apply(mesh, sgraph, lambda g, xx: spmm(g, xx), xp)
+    y1 = spmm(g1, jnp.asarray(x), mode="segsum")
+    np.testing.assert_allclose(
+        np.asarray(y_sh)[:v], np.asarray(y1), rtol=1e-4, atol=1e-4
+    )
+
+    # dense-spmm VJP exercises the transpose direction
+    def dgrad(g, xx, cc):
+        return jax.grad(lambda x_: jnp.vdot(spmm(g, x_), cc))(xx)
+
+    gx_sh = _sharded_apply(mesh, sgraph, dgrad, xp, ctp)
+    gx1 = jax.grad(
+        lambda x_: jnp.vdot(spmm(g1, x_, mode="segsum"), jnp.asarray(ct))
+    )(jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(gx_sh)[:v], np.asarray(gx1), rtol=1e-4, atol=1e-4
+    )
+
+    # compact maxk path: compressed gather + hybrid aggregation + sampled grad
+    k = 8
+
+    def lgrad(g, xx, cc):
+        return jax.grad(
+            lambda x_: jnp.vdot(maxk_spgemm(g, maxk_cbsr(x_, k), dim=D), cc)
+        )(xx)
+
+    gm_sh = _sharded_apply(mesh, sgraph, lgrad, xp, ctp)
+    gm1 = jax.grad(
+        lambda x_: jnp.vdot(
+            maxk_spgemm(g1, maxk_cbsr(x_, k), dim=D, mode="segsum"),
+            jnp.asarray(ct),
+        )
+    )(jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(gm_sh)[:v], np.asarray(gm1), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_sharded_setup_hybrid_training_learns(tiny_data):
+    """kernel_mode='hybrid' end-to-end: sharded_setup permutes the node
+    data to the hybrid's degree order and the step trains."""
+    mesh = make_mesh(N_DEV)
+    cfg = TrainConfig(
+        dataset="tiny",
+        model="sage",
+        epochs=25,
+        lr=0.01,
+        hidden_dim=32,
+        hidden_layers=2,
+        maxk=8,
+        dropout=0.0,
+        kernel_mode="hybrid",
+    )
+    model, variables, opt_state, sgraph, arrays, tx = sharded_setup(
+        cfg, tiny_data, mesh
+    )
+    assert sgraph.hybrid is not None
+    train_step = make_sharded_train_step(model, tx, False, mesh)
+    eval_step = make_sharded_eval_step(model, False, mesh)
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(cfg.epochs):
+        rng, srng = jax.random.split(rng)
+        variables, opt_state, loss, _ = train_step(
+            variables, opt_state, srng, sgraph,
+            arrays["feats"], arrays["labels"], arrays["train"],
+        )
+        losses.append(float(loss))
+    tr, va, te = eval_step(
+        variables, sgraph, arrays["feats"], arrays["labels"],
+        (arrays["train"], arrays["val"], arrays["test"]),
+    )
+    assert losses[-1] < losses[0] * 0.7, losses[:3] + losses[-3:]
+    assert float(va) > 0.5, float(va)

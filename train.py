@@ -80,7 +80,23 @@ def run_sharded(cfg, data, logger, writer):
         make_sharded_train_step,
         sharded_setup,
     )
-    mesh = make_mesh(cfg.mesh_shape)
+    try:
+        mesh = make_mesh(cfg.mesh_shape)
+    except ValueError:
+        # single-chip TPU tunnel: fall back to virtual CPU devices when
+        # enough exist (xla_force_host_platform_device_count), else re-raise
+        cpus = jax.devices("cpu")
+        if len(cpus) < cfg.mesh_shape:
+            raise
+        logger.info(
+            f"falling back to a {cfg.mesh_shape}-device virtual CPU mesh"
+        )
+        mesh = make_mesh(devices=cpus[: cfg.mesh_shape])
+    if mesh.devices.flat[0].platform != "tpu":
+        # TPU-only Pallas kernels can't lower for CPU mesh devices
+        import os
+
+        os.environ["MAXK_TPU_DISABLE_PALLAS"] = "1"
     logger.info(f"mesh: {mesh}")
     model, variables, opt_state, sgraph, arrays, tx = sharded_setup(
         cfg, data, mesh
