@@ -60,6 +60,10 @@ def main(argv=None):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     devices = jax.devices()
+    if len(devices) < max(args.devices):
+        # single-chip tunnel: scaling needs a multi-device mesh — use the
+        # virtual CPU devices (xla_force_host_platform_device_count)
+        devices = jax.devices("cpu")
     if devices[0].platform != "tpu":
         os.environ["MAXK_TPU_DISABLE_PALLAS"] = "1"
 
@@ -74,8 +78,16 @@ def main(argv=None):
     log(f"{args.dataset} x{args.scale}: V={v} E={e} "
         f"{args.model} {nl}x{d} k={k} on {devices[0].platform}")
 
+    # arm = (label, nonlinearity, kernel_mode). maxk_hybrid runs the
+    # row-partitioned strip schedule (spmm_hybrid_sharded): its only
+    # cross-device aggregation term is a psum of (S,D) hub partials.
+    arms = [
+        ("maxk", "maxk", args.kernel_mode),
+        ("maxk_hybrid", "maxk", "hybrid"),
+        ("relu", "relu", args.kernel_mode),
+    ]
     results = []
-    for nonlinear in ("maxk", "relu"):
+    for arm, nonlinear, kmode in arms:
         for n in args.devices:
             if n > len(devices):
                 log(f"skip n={n}: only {len(devices)} devices")
@@ -84,7 +96,7 @@ def main(argv=None):
             cfg = TrainConfig(
                 dataset=args.dataset, model=args.model, epochs=1,
                 hidden_dim=d, hidden_layers=nl, nonlinear=nonlinear,
-                maxk=k, dropout=0.0, kernel_mode=args.kernel_mode,
+                maxk=k, dropout=0.0, kernel_mode=kmode,
                 data_scale=args.scale, seed=97,
             )
             model, variables, opt_state, sgraph, arrays, tx = sharded_setup(
@@ -106,15 +118,20 @@ def main(argv=None):
             jax.block_until_ready(loss)
             ms = (time.perf_counter() - t0) / args.iters * 1e3
             assert np.isfinite(float(loss)), float(loss)
-            # analytic per-layer forward all_gather volume (bytes moved
-            # per device): compressed CBSR vs dense rows
+            # analytic per-layer forward collective volume (bytes moved
+            # per device): compressed CBSR vs dense row gather, plus the
+            # hybrid's (S,D) hub-partial psum
             fwd_bytes = v * (k * 8) if nonlinear == "maxk" else v * (d * 4)
             rec = {
-                "arm": nonlinear, "n": n, "step_ms": round(ms, 2),
+                "arm": arm, "n": n, "step_ms": round(ms, 2),
                 "fwd_allgather_bytes_per_layer": fwd_bytes,
             }
+            if sgraph.hybrid is not None:
+                rec["fwd_hub_psum_bytes_per_layer"] = (
+                    sgraph.hybrid.s_cols * d * 4
+                )
             results.append(rec)
-            log(f"  {nonlinear} n={n}: {ms:.2f} ms/step "
+            log(f"  {arm} n={n}: {ms:.2f} ms/step "
                 f"loss={float(loss):.4f}")
 
     # strong-scaling vs n=1 of the same arm. Two readings:

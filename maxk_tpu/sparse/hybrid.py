@@ -322,7 +322,12 @@ def build_hybrid_device(
     # reddit scale — compile-time OOM), and a single flat index overflows
     # int32 when vp*s > 2^31. Chunk width caps both the flat index range
     # and the per-chunk temps (~2 chunk copies live at once).
-    w = min(s, 2048, max(128, ((2**31 - 1) // vp) // 128 * 128))
+    # chunk width capped by flat-int32 range AND a bytes budget: at
+    # products scale (vp=2.45M) the int32 cap alone allows a 3.8 GB
+    # per-chunk buffer — with ~2 chunks + the strip + graph arrays live
+    # that crashes the 16 GB worker
+    w_bytes = int(1.2e9) // (vp * jnp.dtype(strip_dtype).itemsize)
+    w = min(s, 2048, max(128, min((2**31 - 1) // vp, w_bytes) // 128 * 128))
 
     # c0 is TRACED (only the chunk width is static): all full-width
     # chunks share one executable — remote compiles are minutes each,
