@@ -59,6 +59,23 @@ class CSRGraph:
         return jnp.cumsum(seg)
 
 
+def rows_from_indptr(indptr: jax.Array, e: int, num_rows: int) -> jax.Array:
+    """(e,) row id of every CSR slot, inside jit: ones scattered at row
+    starts then cumsum (same trick as `CSRGraph.row_ids`).
+
+    Replaces `searchsorted(indptr, arange(e), 'right') - 1`, which
+    crashes the TPU worker at ogbn-products scale (E≈126M needles over a
+    V≈2.45M haystack); the scan form runs fine there. Dead-tail slots
+    (past indptr[-1]) map to num_rows-1 — callers mask with a live bit.
+    """
+    marks = (
+        jnp.zeros((max(e, 1),), jnp.int32)
+        .at[indptr[1:num_rows]]
+        .add(1, mode="drop")
+    )
+    return jnp.cumsum(marks)
+
+
 def csr_from_coo(
     rows: np.ndarray,
     cols: np.ndarray,
@@ -135,12 +152,10 @@ def csr_transpose_device(g: CSRGraph) -> CSRGraph:
     def t(indptr, indices, values):
         e = indices.shape[0]
         ar = jnp.arange(e, dtype=jnp.int32)
-        rows = (
-            jnp.searchsorted(indptr, ar, side="right").astype(jnp.int32) - 1
-        )
+        rows = rows_from_indptr(indptr, e, n)
         live = ar < indptr[-1]
         tr = jnp.where(live, indices, n).astype(jnp.int32)
-        tc = jnp.where(live, jnp.clip(rows, 0, n - 1), n).astype(jnp.int32)
+        tc = jnp.where(live, rows, n).astype(jnp.int32)
         tr, tc, tv = jax.lax.sort((tr, tc, values), num_keys=2)
         new_indptr = jnp.searchsorted(
             tr, jnp.arange(n + 1, dtype=jnp.int32)

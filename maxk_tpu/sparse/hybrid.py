@@ -41,7 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from maxk_tpu.sparse.csr import CSRGraph
+from maxk_tpu.sparse.csr import CSRGraph, rows_from_indptr
 from maxk_tpu.sparse.meta import (
     EDGE_TILE,
     ROW_BLOCK,
@@ -249,12 +249,12 @@ def permute_csr_device(csr: CSRGraph, perm: jax.Array) -> CSRGraph:
     def p(indptr, indices, values, perm):
         e = indices.shape[0]
         ar = jnp.arange(e, dtype=jnp.int32)
-        rows = jnp.searchsorted(indptr, ar, side="right").astype(jnp.int32) - 1
+        rows = rows_from_indptr(indptr, e, v)
         live = ar < indptr[-1]
         rank = jnp.zeros((v,), jnp.int32).at[perm].set(
             jnp.arange(v, dtype=jnp.int32)
         )
-        nr = jnp.where(live, rank[jnp.clip(rows, 0, v - 1)], v)
+        nr = jnp.where(live, rank[rows], v)
         nc = jnp.where(live, rank[indices], v)
         nr, nc, nv = jax.lax.sort((nr, nc, values), num_keys=2)
         new_indptr = jnp.searchsorted(
@@ -292,8 +292,7 @@ def build_hybrid_device(
     def tail_phase(indptr, indices, values):
         e = indices.shape[0]
         ar = jnp.arange(e, dtype=jnp.int32)
-        rows = jnp.searchsorted(indptr, ar, side="right").astype(jnp.int32) - 1
-        rows = jnp.clip(rows, 0, v - 1)
+        rows = rows_from_indptr(indptr, e, v)
         live = (ar < indptr[-1]) & (values != 0)
         deg = jax.ops.segment_sum(
             live.astype(jnp.float32), rows, num_segments=v,
@@ -336,8 +335,7 @@ def build_hybrid_device(
     def strip_chunk(strip, indptr, indices, values, c0, wc):
         e = indices.shape[0]
         ar = jnp.arange(e, dtype=jnp.int32)
-        rows = jnp.searchsorted(indptr, ar, side="right").astype(jnp.int32) - 1
-        rows = jnp.clip(rows, 0, v - 1)
+        rows = rows_from_indptr(indptr, e, v)
         live = (ar < indptr[-1]) & (values != 0)
         in_chunk = live & (indices >= c0) & (indices < c0 + wc)
         idx = jnp.where(in_chunk, rows * wc + (indices - c0), -1)

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from maxk_tpu.sparse.csr import CSRGraph
+from maxk_tpu.sparse.csr import CSRGraph, rows_from_indptr
 
 # Defaults (tunable per-kernel): R is the f32 sublane tile, T amortizes
 # per-tile overheads while keeping the gather scratch in VMEM.
@@ -192,10 +192,10 @@ def build_edge_tiles_device(
         srcc = jnp.clip(src, 0, e - 1)
         tcols = jnp.where(valid, cols[srcc], 0).astype(jnp.int32)
         tvals = jnp.where(valid, vals[srcc], 0.0).astype(jnp.float32)
-        # edge -> row: row of edge e is searchsorted(indptr, e, 'right')-1
-        erow = (
-            jnp.searchsorted(ipp, srcc, side="right").astype(jnp.int32) - 1
-        )
+        # edge -> row, via the O(E) scan form (searchsorted with E-sized
+        # needles crashes the worker at products scale — see
+        # csr.rows_from_indptr); srcc is a gather of precomputed slot rows
+        erow = rows_from_indptr(ipp, max(e, 1), nb * row_block)[srcc]
         tlrow = jnp.where(valid, erow - blk * row_block, 0).astype(jnp.int32)
         return tile_block, tcols, tvals, tlrow
 
