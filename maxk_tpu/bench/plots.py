@@ -45,6 +45,70 @@ def plot_kernel_bench(records, out_dir):
     return path
 
 
+def plot_ksweep(data, out_dir):
+    """k vs accuracy and k vs epoch time, relu arm as reference line —
+    the figure `plotgnn.py:26-39` hard-codes, rendered from KSWEEP json."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rows = data["results"]
+    pairs = sorted({(r["dataset"], r["model"]) for r in rows})
+    fig, axes = plt.subplots(1, 2, figsize=(11, 4))
+    for ds, model in pairs:
+        sub = [r for r in rows if r["dataset"] == ds and r["model"] == model]
+        relu = next((r for r in sub if r["arm"] == "relu"), None)
+        ks = sorted(
+            int(r["arm"].split("maxk_k")[1])
+            for r in sub if r["arm"].startswith("maxk_k")
+        )
+        acc = [next(r["best_test"] for r in sub if r["arm"] == f"maxk_k{k}")
+               for k in ks]
+        ms = [next(r["epoch_ms"] for r in sub if r["arm"] == f"maxk_k{k}")
+              for k in ks]
+        (ln,) = axes[0].plot(ks, acc, "o-", label=f"{ds}/{model}")
+        axes[1].plot(ks, ms, "o-", color=ln.get_color())
+        if relu:
+            axes[0].axhline(relu["best_test"], color=ln.get_color(),
+                            ls="--", lw=0.8)
+            axes[1].axhline(relu["epoch_ms"], color=ln.get_color(),
+                            ls="--", lw=0.8)
+    for ax, yl in zip(axes, ["best test accuracy", "epoch ms"]):
+        ax.set_xscale("log", base=2)
+        ax.set_xlabel("k")
+        ax.set_ylabel(yl + " (dashed = relu arm)")
+        ax.legend(fontsize=8)
+    fig.tight_layout()
+    path = os.path.join(out_dir, "ksweep.png")
+    fig.savefig(path, dpi=120)
+    return path
+
+
+def plot_scaling(data, out_dir):
+    """Sharded step time vs mesh size per arm (SCALING json)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rows = data["results"]
+    fig, ax = plt.subplots(figsize=(6, 4))
+    for arm in sorted({r["arm"] for r in rows}):
+        sub = sorted((r["n"], r["step_ms"]) for r in rows if r["arm"] == arm)
+        ax.plot([n for n, _ in sub], [m for _, m in sub], "o-", label=arm)
+    ax.set_xlabel("mesh devices")
+    ax.set_ylabel("step ms")
+    ax.set_xscale("log", base=2)
+    note = data.get("protocol", {}).get("platform", "")
+    ax.set_title(f"sharded step scaling ({note})")
+    ax.legend()
+    fig.tight_layout()
+    path = os.path.join(out_dir, "scaling.png")
+    fig.savefig(path, dpi=120)
+    return path
+
+
 def plot_training_curves(scalars_jsonl, out_dir, tag="val_acc"):
     import matplotlib
 
@@ -71,13 +135,24 @@ def plot_training_curves(scalars_jsonl, out_dir, tag="val_acc"):
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--kernel", default="")
+    p.add_argument("--ksweep", default="")
+    p.add_argument("--scaling", default="")
     p.add_argument("--scalars", default="")
     p.add_argument("--out", default="figs")
     args = p.parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
     if args.kernel:
         with open(args.kernel) as f:
-            print(plot_kernel_bench(json.load(f), args.out))
+            data = json.load(f)
+        # assembled suite artifacts wrap the record list in {results: ...}
+        records = data["results"] if isinstance(data, dict) else data
+        print(plot_kernel_bench(records, args.out))
+    if args.ksweep:
+        with open(args.ksweep) as f:
+            print(plot_ksweep(json.load(f), args.out))
+    if args.scaling:
+        with open(args.scaling) as f:
+            print(plot_scaling(json.load(f), args.out))
     if args.scalars:
         print(plot_training_curves(args.scalars, args.out))
 

@@ -83,6 +83,30 @@ def test_plots_from_bench(tmp_path):
     assert os.path.exists(path)
 
 
+def test_plots_ksweep_and_scaling(tmp_path):
+    from maxk_tpu.bench.plots import plot_ksweep, plot_scaling
+
+    ks = {
+        "results": [
+            {"dataset": "flickr", "model": "sage", "arm": "relu",
+             "best_test": 0.8, "epoch_ms": 100.0},
+            {"dataset": "flickr", "model": "sage", "arm": "maxk_k8",
+             "best_test": 0.75, "epoch_ms": 90.0},
+            {"dataset": "flickr", "model": "sage", "arm": "maxk_k32",
+             "best_test": 0.79, "epoch_ms": 95.0},
+        ]
+    }
+    assert os.path.exists(plot_ksweep(ks, str(tmp_path)))
+    sc = {
+        "protocol": {"platform": "cpu"},
+        "results": [
+            {"arm": "maxk", "n": 1, "step_ms": 10.0},
+            {"arm": "maxk", "n": 8, "step_ms": 4.0},
+        ],
+    }
+    assert os.path.exists(plot_scaling(sc, str(tmp_path)))
+
+
 def test_train_cli_tiny(tmp_path):
     from train import main
 
