@@ -142,19 +142,17 @@ def main(argv=None):
 
             has_hyb = hybrid_profitable(g.num_nodes, e_live, args.dim)
             mode = resolve_mode("auto", has_tiles=True, has_hybrid=has_hyb).value
-        hybrid = None
         if mode == "hybrid":
             from maxk_tpu.sparse.hybrid import (
-                auto_strip_cols,
-                build_hybrid_device,
                 degree_perm_device,
                 permute_csr_device,
             )
 
+            # permute now, but build the strip only AFTER the baseline
+            # arm is timed — at ogbn-products scale the strip (5.6 GB)
+            # plus the tile tables + scan accumulator don't co-reside
             g = permute_csr_device(g, degree_perm_device(g))
-            hybrid = build_hybrid_device(
-                g, s_cols=auto_strip_cols(g.num_nodes), norm="right"
-            )
+        g_raw = g  # pre-norm CSR: the strip builder folds norm itself
         g = with_norm(g, "right")
         e_real = int(np.asarray(jnp.sum(g.values != 0)))
         # the baseline arm is the LIBRARY path — plain XLA over the tile
@@ -172,7 +170,7 @@ def main(argv=None):
             or base_mode == "tiles_scan"
             else None
         )
-        graph = Graph(csr=g, csc=g, tiles=tiles, tiles_t=tiles, hybrid=hybrid)
+        graph = Graph(csr=g, csc=g, tiles=tiles, tiles_t=tiles)
         v = g.num_nodes
         key = jax.random.PRNGKey(123)
         x_dense_f = jax.jit(
@@ -196,6 +194,25 @@ def main(argv=None):
             iters=4,
         )
         print(f"{n} {name} {args.dim} - cusparse_role_bf16 {t_base16*1e3:.4f}")
+        if mode == "hybrid":
+            # baseline arms done: free the tile tables and the dense
+            # feature matrix before materializing the strip (products:
+            # strip 5.6 GB, tiles 2.4 GB, x 2.5 GB — not co-resident)
+            from maxk_tpu.sparse.hybrid import (
+                auto_strip_cols,
+                build_hybrid_device,
+            )
+
+            if tiles is not None:
+                jax.tree.map(
+                    lambda a: a.delete() if hasattr(a, "delete") else None,
+                    (tiles, x_dense),
+                )
+            tiles = None
+            hybrid = build_hybrid_device(
+                g_raw, s_cols=auto_strip_cols(g.num_nodes), norm="right"
+            )
+            graph = Graph(csr=g, csc=g, hybrid=hybrid)
         for k in args.k:
             vals = jax.jit(
                 lambda: jax.random.normal(jax.random.fold_in(key, k), (v, k))
