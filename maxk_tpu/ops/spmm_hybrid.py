@@ -47,14 +47,14 @@ def spmm_hybrid(
         - jnp.dot(h.strip[:s], xh, preferred_element_type=jnp.float32)
     )
     y = jax.lax.dynamic_update_slice(y, y[:s] + yh, (0, 0))
-    y = y[:v]
 
     # tail arm: rows≥S × cols≥S leftover edges on the gather path, in the
     # input dtype (measured at reddit scale: bf16 gather is NOT faster —
-    # the row gather is issue-rate-bound there, and the extra cast loses)
-    y = y + spmm_tiles_scan(
-        h.tail_tiles, xs, chunk=h.tail_chunk
-    ).astype(jnp.float32)
+    # the row gather is issue-rate-bound there, and the extra cast loses).
+    # The strip output seeds the scan accumulator (acc0) so only one
+    # (V, D) f32 buffer lives — at products scale the separate-add form
+    # is 2×2.5 GB and OOMs next to the 5.6 GB strip.
+    y = spmm_tiles_scan(h.tail_tiles, xs, chunk=h.tail_chunk, acc0=y[:v])
     return (y * post[:, None]).astype(x.dtype)
 
 
@@ -102,8 +102,8 @@ def spmm_hybrid_sharded(h, x: jax.Array, transpose: bool = False) -> jax.Array:
     grow = r0 + jnp.arange(vs, dtype=jnp.int32)
     y = jnp.where((grow < s)[:, None], hslice, y)
 
-    y = y + spmm_tiles_scan(
-        h.local_tail_tiles(), xs, chunk=h.tail_chunk
-    ).astype(jnp.float32)
+    y = spmm_tiles_scan(
+        h.local_tail_tiles(), xs, chunk=h.tail_chunk, acc0=y
+    )
     post_loc = jax.lax.dynamic_slice_in_dim(post, r0, vs)
     return (y * post_loc[:, None]).astype(x.dtype)

@@ -104,7 +104,11 @@ def spmm_tiles_xla(tiles: EdgeTiles, x: jax.Array) -> jax.Array:
 
 
 def spmm_tiles_scan(
-    tiles: EdgeTiles, x: jax.Array, chunk: int = 256, accumulate: str = "matmul"
+    tiles: EdgeTiles,
+    x: jax.Array,
+    chunk: int = 256,
+    accumulate: str = "matmul",
+    acc0: jax.Array | None = None,
 ) -> jax.Array:
     """Memory-bounded tile SpMM: lax.scan over tile chunks.
 
@@ -120,6 +124,12 @@ def spmm_tiles_scan(
         the window is added back with one dynamic slice read-modify-write
         — entirely scatter-free (TPU scatter costs ~µs/row).
       - "scatter": per-chunk `.at[b].add` (simpler; measurably slower).
+
+    `acc0` (optional, (num_nodes, D) f32) seeds the accumulator — callers
+    that add the scan result to an existing partial (the hybrid's strip
+    output) pass it here instead of materializing result + partial + sum
+    as three (V, D) f32 buffers; at ogbn-products scale each such buffer
+    is 2.5 GB and the separate-add form OOMs.
     """
     r = tiles.row_block
     nb = tiles.num_row_blocks
@@ -158,15 +168,25 @@ def spmm_tiles_scan(
             "ctr,ctd->crd", onehot, weighted, preferred_element_type=jnp.float32
         )
 
+    def seed(acc):
+        if acc0 is None:
+            return acc
+        a0 = jnp.pad(
+            acc0.astype(jnp.float32),
+            ((0, acc.shape[0] * r - acc0.shape[0]), (0, 0)),
+        )
+        return a0.reshape(acc.shape)
+
     if accumulate == "scatter":
 
         def step(acc, inp):
             b, c, v, lr = inp
             return acc.at[b].add(partial_of(c, v, lr)), None
 
-        acc = jnp.zeros((nb, r, d), dtype=jnp.float32)
+        acc = seed(jnp.zeros((nb, r, d), dtype=jnp.float32))
         acc, _ = jax.lax.scan(step, acc, (blocks, cols, vals, lrow))
-        return acc.reshape(nb * r, d)[: tiles.num_nodes].astype(x.dtype)
+        out = acc.reshape(nb * r, d)[: tiles.num_nodes]
+        return out if acc0 is not None else out.astype(x.dtype)
 
     def step(acc, inp):
         b, c, v, lr = inp
@@ -183,9 +203,11 @@ def spmm_tiles_scan(
 
     # pad the accumulator so the chunk window never clamps at the end;
     # accumulator is f32 regardless of compute dtype
-    acc = jnp.zeros((nb + chunk, r, d), dtype=jnp.float32)
+    acc = seed(jnp.zeros((nb + chunk, r, d), dtype=jnp.float32))
     acc, _ = jax.lax.scan(step, acc, (blocks, cols, vals, lrow))
-    return acc.reshape((nb + chunk) * r, d)[: tiles.num_nodes].astype(x.dtype)
+    out = acc.reshape((nb + chunk) * r, d)[: tiles.num_nodes]
+    # seeded calls are mid-accumulation: stay f32 (the caller casts once)
+    return out if acc0 is not None else out.astype(x.dtype)
 
 
 def spmm_dense(g: CSRGraph, x: jax.Array) -> jax.Array:
