@@ -97,7 +97,9 @@ def main():
         )
 
         g = permute_csr_device(g, degree_perm_device(g))
-        hybrid = build_hybrid_device(g, s_cols=auto_strip_cols(v), norm="right")
+        hybrid = build_hybrid_device(
+            g, s_cols=auto_strip_cols(v, e_live=e_real), norm="right"
+        )
         log(f"hybrid strip {hybrid.strip.shape} {hybrid.strip.dtype}")
     g = with_norm(g, "right")
     # right-norm breaks value symmetry even on symmetric structure, so the

@@ -67,10 +67,12 @@ def load_suite(args):
         yield name, rmat_graph_device(v, e, seed=123)
 
 
-def validate_graph(graph, cbsr, dim, mode, tol=1e-3):
+def validate_graph(graph, cbsr, dim, mode, tol=1e-3, compute_dtype=None):
     """Kernel output vs the segment-sum oracle — the role of
     `validate_against_cusparse` (`direct_kernel_interface.py:221-372`),
-    including its max-error forensics."""
+    including its max-error forensics. `compute_dtype` should match the
+    timed kernel's (the oracle itself stays f32): an f32 validation pass
+    at products scale also doubles the transient memory and OOMs."""
     import jax
     import jax.numpy as jnp
 
@@ -78,7 +80,6 @@ def validate_graph(graph, cbsr, dim, mode, tol=1e-3):
     from maxk_tpu.ops.spmm_xla import spmm_segsum, spmm_segsum_scan
     from maxk_tpu.sparse.cbsr import cbsr_densify
 
-    y = np.asarray(maxk_spgemm(graph, cbsr, dim=dim, mode=mode))
     # one-shot oracle while its (E, D) gather intermediate fits; the
     # edge-chunked scan oracle (same math, raw CSR — independent of the
     # tile/hybrid schedules) at full graph scale
@@ -86,17 +87,41 @@ def validate_graph(graph, cbsr, dim, mode, tol=1e-3):
     oracle = (
         spmm_segsum if e * dim * 4 < 2**31 else jax.jit(spmm_segsum_scan)
     )
-    ref = np.asarray(oracle(graph.csr, cbsr_densify(cbsr, dim)))
-    err = np.abs(y - ref)
-    max_err = float(err.max())
-    mean_err = float(err.mean())
+    # error forensics computed ON DEVICE (fused, no materialized |err|
+    # array, scalar fetches only): a products-scale (V, 256) f32 result
+    # is 2.5 GB — two of them through the ~MB/s tunnel would take
+    # minutes and the host-side copies double peak memory
+    xd = cbsr_densify(cbsr, dim)
+    ref = oracle(graph.csr, xd)
+    if hasattr(xd, "delete"):
+        xd.delete()
+    y = maxk_spgemm(graph, cbsr, dim=dim, mode=mode,
+                    compute_dtype=compute_dtype)
+
+    @jax.jit
+    def stats(y, ref):
+        err = jnp.abs(y.astype(jnp.float32) - ref.astype(jnp.float32))
+        return (
+            err.max(),
+            err.mean(),
+            jnp.argmax(err),
+            (err > 0.1).sum(),
+            (err > 0.5).sum(),
+        )
+
+    mx, mn, am, n01, n05 = stats(y, ref)
+    shape = y.shape
+    max_err, mean_err = float(mx), float(mn)
+    for a in (y, ref):
+        if hasattr(a, "delete"):
+            a.delete()
     ok = mean_err < tol
     detail = {
         "max_err": max_err,
         "mean_err": mean_err,
-        "argmax": [int(i) for i in np.unravel_index(err.argmax(), err.shape)],
-        "n_gt_0.1": int((err > 0.1).sum()),
-        "n_gt_0.5": int((err > 0.5).sum()),
+        "argmax": [int(i) for i in np.unravel_index(int(am), shape)],
+        "n_gt_0.1": int(n01),
+        "n_gt_0.5": int(n05),
     }
     return ok, detail
 
@@ -210,9 +235,16 @@ def main(argv=None):
                 )
             tiles = None
             hybrid = build_hybrid_device(
-                g_raw, s_cols=auto_strip_cols(g.num_nodes), norm="right"
+                g_raw,
+                s_cols=auto_strip_cols(g.num_nodes, e_live=e_real),
+                norm="right",
             )
             graph = Graph(csr=g, csc=g, hybrid=hybrid)
+            # pre-norm CSR no longer needed: free its values (indices are
+            # shared with the normalized copy)
+            if hasattr(g_raw.values, "delete"):
+                g_raw.values.delete()
+            g_raw = None
         for k in args.k:
             vals = jax.jit(
                 lambda: jax.random.normal(jax.random.fold_in(key, k), (v, k))
@@ -261,7 +293,9 @@ def main(argv=None):
                 "speedup_vs_baseline": t_base / t_fwd,
             }
             if args.validate:
-                ok, detail = validate_graph(graph, cbsr, args.dim, mode)
+                ok, detail = validate_graph(
+                    graph, cbsr, args.dim, mode, compute_dtype=jnp.bfloat16
+                )
                 rec["valid"] = ok
                 rec["validation"] = detail
                 log(f"  validate k={k}: ok={ok} {detail}")

@@ -50,18 +50,44 @@ def roundtrip_latency() -> float:
     return _LATENCY
 
 
+# queued-output budget: PJRT allocates every enqueued call's output buffer
+# up front, so `iters` queued (V, D) results co-reside — at ogbn-products
+# scale 4 × 2.5 GB next to the 5.6 GB strip OOMs the 16 GB chip
+_QUEUED_OUT_BYTES = 2 << 30
+
+
 def timeit(fn, *args, iters=16, warmup=2, min_total=None):
     """Per-call device time: `iters` queued calls + one sync, minus the
     tunnel roundtrip. If the measured total is within noise of the
     roundtrip itself, re-measures with enough iterations to dominate it
-    (tiny kernels would otherwise read as ~0)."""
+    (tiny kernels would otherwise read as ~0). Calls with large outputs
+    are synced one-by-one instead of queued (see _QUEUED_OUT_BYTES);
+    their per-call cost dwarfs the roundtrip, so accuracy holds."""
     lat = roundtrip_latency()
     if min_total is None:
         min_total = 4 * lat
-    out = None
-    for _ in range(warmup):
-        out = fn(*args)
+    # first warmup synced alone: it reveals the output size before any
+    # second call is enqueued (two queued products-scale calls OOM)
+    out = fn(*args)
     _sync(out)
+    out_bytes = sum(
+        getattr(leaf, "nbytes", 0) for leaf in jax.tree.leaves(out)
+    )
+    big = out_bytes * max(iters, 2) > _QUEUED_OUT_BYTES
+    for _ in range(warmup - 1):
+        out = fn(*args)
+        if big:
+            _sync(out)
+    if not big:
+        _sync(out)
+    if big:
+        total = 0.0
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            _sync(out)
+            total += time.perf_counter() - t0 - lat
+        return max(total / iters, 1e-9)
     while True:
         t0 = time.perf_counter()
         for _ in range(iters):

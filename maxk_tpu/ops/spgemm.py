@@ -157,13 +157,16 @@ def _maxk_spgemm(dim, mode, compute_dtype, graph, vals, sel):
     if isinstance(graph, ShardedGraph):
         # gather COMPRESSED features over ICI (V·k ≪ V·dim), then densify
         # and aggregate the local row block (x is already full — no second
-        # gather inside the spmm)
+        # gather inside the spmm). compute_dtype is applied to the VALUES
+        # before densify: densify is placement-only, so the numerics are
+        # identical, the gathered bytes halve, and no (V, dim) f32
+        # intermediate is ever materialized (2.5 GB at products scale)
         out_dtype = vals.dtype
+        if compute_dtype is not None:
+            vals = vals.astype(compute_dtype)
         vals = jax.lax.all_gather(vals, graph.axis, axis=0, tiled=True)
         sel = jax.lax.all_gather(sel, graph.axis, axis=0, tiled=True)
         x = cbsr_densify(CBSR(values=vals, selector=sel), dim)
-        if compute_dtype is not None:
-            x = x.astype(compute_dtype)
         if graph.hybrid is not None:
             from maxk_tpu.ops.spmm_hybrid import spmm_hybrid_sharded
 
@@ -173,11 +176,14 @@ def _maxk_spgemm(dim, mode, compute_dtype, graph, vals, sel):
 
             return spmm_tiles_scan(graph.local_fwd_tiles(), x).astype(out_dtype)
         return spmm_segsum(graph.local_fwd(), x).astype(out_dtype)
-    x = cbsr_densify(CBSR(values=vals, selector=sel), dim)
+    out_dtype = vals.dtype
     if compute_dtype is not None:
-        x = x.astype(compute_dtype)
+        # cast values BEFORE densify (placement-only op — identical
+        # numerics, but the (V, dim) f32 intermediate never exists)
+        vals = vals.astype(compute_dtype)
+    x = cbsr_densify(CBSR(values=vals, selector=sel), dim)
     y = _spmm_impl(graph, x, KernelMode(mode), transpose=False)
-    return y.astype(vals.dtype)
+    return y.astype(out_dtype)
 
 
 def _maxk_spgemm_fwd(dim, mode, compute_dtype, graph, vals, sel):

@@ -216,7 +216,17 @@ def build_sharded_hybrid(
     v = csr.num_nodes
     vs = -(-v // num_shards)
     vp = vs * num_shards
-    s = auto_strip_cols(v) if s_cols is None else s_cols
+    # sharded budget: each chip holds V/n of the strip's rows, so the
+    # per-chip HBM fit is computed over V/n rows while the width cap
+    # stays bounded by the full V
+    if s_cols is None:
+        from maxk_tpu.sparse.hybrid import STRIP_COLS
+
+        s = auto_strip_cols(
+            -(-v // max(num_shards, 1)), s_cols=min(STRIP_COLS, v)
+        )
+    else:
+        s = s_cols
     s = min(s, v)
     s = max(128, (s // 128) * 128) if v >= 128 else v
 

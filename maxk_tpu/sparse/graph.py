@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import numpy as np
 from flax import struct
 
 from maxk_tpu.sparse.csr import CSRGraph, csr_to_scipy, csr_transpose, with_norm
@@ -80,7 +81,9 @@ def build_graph(
             from maxk_tpu.sparse.hybrid import auto_strip_cols
 
             if strip_cols is None:
-                strip_cols = auto_strip_cols(csr.num_nodes)
+                strip_cols = auto_strip_cols(
+                    csr.num_nodes, e_live=int(np.asarray(csr.indptr[-1]))
+                )
             perm = degree_perm(csr)
             csr = permute_csr(csr, perm)
             hyb = build_hybrid(

@@ -61,14 +61,33 @@ TAIL_EDGE_TILE = 64
 # practical bf16 MXU rate on one v5e chip
 GATHER_SEC_PER_EDGE = 9e-9
 MXU_FLOPS = 1.5e14
-STRIP_HBM_BUDGET = 6e9  # strip bytes budget (16 GB chip minus working set)
+HBM_BYTES = 16e9  # one v5e chip
+STRIP_HBM_BUDGET = 8e9  # strip bytes cap (reddit's 16384-wide strip fits)
 
 
-def auto_strip_cols(v: int, s_cols: int = STRIP_COLS) -> int:
-    """Strip width for a V-node graph: the default, shrunk to fit the
-    HBM budget (bf16), lane-aligned."""
+def auto_strip_cols(
+    v: int,
+    s_cols: int = STRIP_COLS,
+    e_live: Optional[int] = None,
+    dim: int = 256,
+) -> int:
+    """Strip width for a V-node graph: the default, shrunk to fit HBM
+    (bf16), lane-aligned.
+
+    With `e_live` the budget subtracts the SpMM working set — at
+    ogbn-products scale (V=2.45M) the (V, dim) f32 output/accumulator/
+    cotangent buffers plus the tail tables are ~12 GB, and a fixed-budget
+    strip OOMs the 16 GB chip (measured: RESOURCE_EXHAUSTED in the r2
+    suite until the strip shrank to fit)."""
     vp = -(-v // 128) * 128
-    fit = int(STRIP_HBM_BUDGET // (vp * 2)) // 128 * 128
+    budget = STRIP_HBM_BUDGET
+    if e_live is not None:
+        # 3 × (V, dim) f32 (output, scan accumulator, backward cotangent)
+        # + 2 × (V, dim) bf16 (densified x, pre-scaled xs)
+        # + ~17 B/edge (CSR arrays + padded tail tile tables)
+        working = 3 * v * dim * 4 + 2 * v * dim * 2 + 17 * e_live
+        budget = min(budget, HBM_BYTES - working - 1.5e9)
+    fit = int(max(budget, 0.0) // (vp * 2)) // 128 * 128
     return max(min(s_cols, v, fit), 0)
 
 
@@ -83,8 +102,8 @@ def hybrid_profitable(v: int, e_live: int, dim: int = 256) -> bool:
     pass; flickr/yelp-density graphs stay on the tile path — mirroring
     the reference's own claim territory (`README.md:136` restricts the
     kernel speedups to graphs with avg degree > 50)."""
-    s = auto_strip_cols(v)
-    if s < 1024:
+    s = auto_strip_cols(v, e_live=e_live, dim=dim)
+    if s < 256:
         return False  # strip too narrow to hold the hub mass
     vp = -(-v // 128) * 128
     strip_time = 3.0 * vp * s * dim * 2 / MXU_FLOPS
