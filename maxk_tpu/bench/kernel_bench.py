@@ -90,13 +90,17 @@ def validate_graph(graph, cbsr, dim, mode, tol=1e-3, compute_dtype=None):
     # error forensics computed ON DEVICE (fused, no materialized |err|
     # array, scalar fetches only): a products-scale (V, 256) f32 result
     # is 2.5 GB — two of them through the ~MB/s tunnel would take
-    # minutes and the host-side copies double peak memory
+    # minutes and the host-side copies double peak memory.
+    # The kernel output comes FIRST: its transients (~8 GB at products
+    # scale) must not co-reside with the oracle's reference buffer.
+    y = maxk_spgemm(graph, cbsr, dim=dim, mode=mode,
+                    compute_dtype=compute_dtype)
+    # no host sync needed: device executions run in order, so y's
+    # (large) temp buffers are freed before the oracle executes
     xd = cbsr_densify(cbsr, dim)
     ref = oracle(graph.csr, xd)
     if hasattr(xd, "delete"):
         xd.delete()
-    y = maxk_spgemm(graph, cbsr, dim=dim, mode=mode,
-                    compute_dtype=compute_dtype)
 
     @jax.jit
     def stats(y, ref):
@@ -278,6 +282,10 @@ def main(argv=None):
             )
             t_fb = timeit(grad_fn, vals, graph, sel, ct, iters=4)
             print(f"{n} {name} {args.dim} {k} maxk_fwd_bwd {t_fb*1e3:.4f}")
+            # free the (V, dim) f32 cotangent before validation — at
+            # products scale it is 2.5 GB of the validation headroom
+            if hasattr(ct, "delete"):
+                ct.delete()
             rec = {
                 "graph": name,
                 "V": v,
