@@ -82,7 +82,12 @@ def main(argv=None):
     graw = rmat_graph_device(v, e_target, seed=123)
     # degree-permute ONCE so every arm sees the same (permuted) problem
     graw = permute_csr_device(graw, degree_perm_device(graw))
-    hybrid = build_hybrid_device(graw, norm="none")
+    from maxk_tpu.sparse.hybrid import auto_strip_cols
+
+    e_live0 = int(np.asarray(graw.indptr[-1]))
+    hybrid = build_hybrid_device(
+        graw, s_cols=auto_strip_cols(v, e_live=e_live0), norm="none"
+    )
     g = with_norm(graw, "none")
     e_real = int(np.asarray(jnp.sum(g.values != 0)))
     tiles = None
