@@ -161,3 +161,24 @@ def test_training_with_hybrid_mode(tiny_data):
     )
     state = train(cfg, tiny_data)
     assert state.best_val > 0.5, state.best_val
+
+
+def test_auto_strip_cols_working_set():
+    """The strip budget must subtract the SpMM working set at scale
+    (the r2 suite OOMed at ogbn-products until it did) and keep the
+    probe-tuned width where HBM allows."""
+    from maxk_tpu.sparse.hybrid import auto_strip_cols, hybrid_profitable
+
+    # reddit published scale: working set is small -> full default width
+    assert auto_strip_cols(232965, e_live=79_000_000) == 16384
+    # products published scale: (V,256) f32 buffers eat ~12 GB -> the
+    # strip shrinks to a positive, lane-aligned width that still fits
+    s = auto_strip_cols(2_449_029, e_live=123_700_000)
+    assert 0 < s < 1024 and s % 128 == 0
+    # and the planning rule still takes the hybrid on both
+    assert hybrid_profitable(232965, 79_000_000)
+    assert hybrid_profitable(2_449_029, 123_700_000)
+    # flickr-density graphs stay on the tile path
+    assert not hybrid_profitable(89250, 1_900_000)
+    # a graph too large for any strip row block falls out cleanly
+    assert auto_strip_cols(40_000_000, e_live=500_000_000) == 0
