@@ -93,14 +93,18 @@ def validate_graph(graph, cbsr, dim, mode, tol=1e-3, compute_dtype=None):
     # minutes and the host-side copies double peak memory.
     # The kernel output comes FIRST: its transients (~8 GB at products
     # scale) must not co-reside with the oracle's reference buffer.
-    y = maxk_spgemm(graph, cbsr, dim=dim, mode=mode,
-                    compute_dtype=compute_dtype)
+    # Everything is jitted — eagerly dispatched ops would pin every
+    # intermediate as a live buffer instead of letting XLA reuse them.
+    y = jax.jit(
+        lambda g_, c: maxk_spgemm(
+            g_, c, dim=dim, mode=mode, compute_dtype=compute_dtype
+        )
+    )(graph, cbsr)
     # no host sync needed: device executions run in order, so y's
     # (large) temp buffers are freed before the oracle executes
-    xd = cbsr_densify(cbsr, dim)
-    ref = oracle(graph.csr, xd)
-    if hasattr(xd, "delete"):
-        xd.delete()
+    ref = jax.jit(lambda g_, c: oracle(g_, cbsr_densify(c, dim)))(
+        graph.csr, cbsr
+    )
 
     @jax.jit
     def stats(y, ref):
