@@ -182,3 +182,24 @@ def test_auto_strip_cols_working_set():
     assert not hybrid_profitable(89250, 1_900_000)
     # a graph too large for any strip row block falls out cleanly
     assert auto_strip_cols(40_000_000, e_live=500_000_000) == 0
+
+
+@pytest.mark.parametrize("rb,t", [(32, 32), (64, 32), (8, 32)])
+def test_hybrid_tail_shapes(rb, t):
+    """The tail arm must be correct for any (row_block, edge_tile) —
+    these are probe-tunable knobs (round-2 tail padding work)."""
+    import numpy as np
+
+    from maxk_tpu.data.synthetic import rmat_graph
+    from maxk_tpu.ops.spmm_hybrid import spmm_hybrid
+    from maxk_tpu.ops.spmm_xla import spmm_segsum
+    from maxk_tpu.sparse.csr import with_norm
+    from maxk_tpu.sparse.hybrid import build_hybrid, degree_perm, permute_csr
+
+    g = rmat_graph(3000, 40000, seed=7)
+    pg = permute_csr(g, degree_perm(g))
+    x = jax.random.normal(jax.random.PRNGKey(0), (3000, 64))
+    ref = np.asarray(spmm_segsum(with_norm(pg, "right"), x))
+    h = build_hybrid(pg, s_cols=512, norm="right", row_block=rb, edge_tile=t)
+    y = np.asarray(spmm_hybrid(h, x))
+    assert np.abs(y - ref).max() < 2e-2  # bf16 strip rounding
