@@ -312,11 +312,14 @@ def main(argv=None):
                 rec["validation"] = detail
                 log(f"  validate k={k}: ok={ok} {detail}")
             results.append(rec)
+            # persist after EVERY record: a late OOM (products k=64) must
+            # not lose the completed measurements
+            if args.json_out:
+                with open(args.json_out, "w") as f:
+                    json.dump(results, f, indent=1)
         n += 1
     if args.json_out:
-        with open(args.json_out, "w") as f:
-            json.dump(results, f, indent=1)
-        log(f"wrote {args.json_out}")
+        log(f"wrote {args.json_out} ({len(results)} records)")
     return results
 
 
