@@ -109,6 +109,48 @@ def plot_scaling(data, out_dir):
     return path
 
 
+def plot_spgemm_study(data, out_dir):
+    """Phase-stacked strategy comparison per sparsity — the role of the
+    reference's AIA study figures (`gnnaia_plot2.py`, `plot_gnn2.py`),
+    rendered from SPGEMM_STUDY json (single-graph dict or list)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    studies = data if isinstance(data, list) else [data]
+    fig, axes = plt.subplots(
+        1, len(studies), figsize=(5.5 * len(studies), 4), squeeze=False
+    )
+    phases = ["densify_ms", "numeric_ms", "symbolic_ms"]
+    for ax, study in zip(axes[0], studies):
+        recs = study["results"]
+        arms = sorted(
+            a for a in recs[0] if isinstance(recs[0][a], dict)
+        )
+        width = 0.8 / len(arms)
+        for i, arm in enumerate(arms):
+            xs = [j + i * width for j in range(len(recs))]
+            bottom = [0.0] * len(recs)
+            for ph in phases:
+                hs = [r[arm].get(ph, 0.0) for r in recs]
+                if not any(hs):
+                    continue
+                ax.bar(xs, hs, width=width, bottom=bottom,
+                       label=f"{arm}:{ph[:-3]}" if ph != "numeric_ms"
+                       else arm)
+                bottom = [b + h for b, h in zip(bottom, hs)]
+        ax.set_xticks(range(len(recs)))
+        ax.set_xticklabels([f"s={r['sparsity']}" for r in recs])
+        ax.set_ylabel("ms (stacked phases)")
+        ax.set_title(f"{study['graph']} V={study['V']} E={study['E']}")
+        ax.legend(fontsize=6)
+    fig.tight_layout()
+    path = os.path.join(out_dir, "spgemm_study.png")
+    fig.savefig(path, dpi=120)
+    return path
+
+
 def plot_training_curves(scalars_jsonl, out_dir, tag="val_acc"):
     import matplotlib
 
@@ -137,6 +179,7 @@ def main(argv=None):
     p.add_argument("--kernel", default="")
     p.add_argument("--ksweep", default="")
     p.add_argument("--scaling", default="")
+    p.add_argument("--study", default="")
     p.add_argument("--scalars", default="")
     p.add_argument("--out", default="figs")
     args = p.parse_args(argv)
@@ -153,6 +196,9 @@ def main(argv=None):
     if args.scaling:
         with open(args.scaling) as f:
             print(plot_scaling(json.load(f), args.out))
+    if args.study:
+        with open(args.study) as f:
+            print(plot_spgemm_study(json.load(f), args.out))
     if args.scalars:
         print(plot_training_curves(args.scalars, args.out))
 

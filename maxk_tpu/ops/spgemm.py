@@ -166,11 +166,19 @@ def _maxk_spgemm(dim, mode, compute_dtype, graph, vals, sel):
             vals = vals.astype(compute_dtype)
         vals = jax.lax.all_gather(vals, graph.axis, axis=0, tiled=True)
         sel = jax.lax.all_gather(sel, graph.axis, axis=0, tiled=True)
-        x = cbsr_densify(CBSR(values=vals, selector=sel), dim)
         if graph.hybrid is not None:
             from maxk_tpu.ops.spmm_hybrid import spmm_hybrid_sharded
 
-            return spmm_hybrid_sharded(graph.hybrid, x).astype(out_dtype)
+            # fold the pre-scale into the (Vp, k) values before densify:
+            # identical math (non-selected entries are 0 either way),
+            # one fewer (Vp, D) transient per device
+            h = graph.hybrid
+            vals = vals * h.local_pre()[:, None].astype(vals.dtype)
+            x = cbsr_densify(CBSR(values=vals, selector=sel), dim)
+            return spmm_hybrid_sharded(h, x, pre_applied=True).astype(
+                out_dtype
+            )
+        x = cbsr_densify(CBSR(values=vals, selector=sel), dim)
         if graph.fwd_tiles is not None:
             from maxk_tpu.ops.spmm_xla import spmm_tiles_scan
 
@@ -181,6 +189,17 @@ def _maxk_spgemm(dim, mode, compute_dtype, graph, vals, sel):
         # cast values BEFORE densify (placement-only op — identical
         # numerics, but the (V, dim) f32 intermediate never exists)
         vals = vals.astype(compute_dtype)
+    resolved = resolve_mode(
+        KernelMode(mode), graph.tiles is not None, graph.hybrid is not None
+    )
+    if resolved == KernelMode.HYBRID and graph.hybrid is not None:
+        from maxk_tpu.ops.spmm_hybrid import spmm_hybrid
+
+        # fold the pre-scale into the (V, k) values (see sharded branch)
+        h = graph.hybrid
+        vals = vals * h.pre[:, None].astype(vals.dtype)
+        x = cbsr_densify(CBSR(values=vals, selector=sel), dim)
+        return spmm_hybrid(h, x, pre_applied=True).astype(out_dtype)
     x = cbsr_densify(CBSR(values=vals, selector=sel), dim)
     y = _spmm_impl(graph, x, KernelMode(mode), transpose=False)
     return y.astype(out_dtype)

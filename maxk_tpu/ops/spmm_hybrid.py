@@ -25,13 +25,20 @@ from maxk_tpu.sparse.hybrid import HybridSchedule
 
 
 def spmm_hybrid(
-    h: HybridSchedule, x: jax.Array, transpose: bool = False
+    h: HybridSchedule,
+    x: jax.Array,
+    transpose: bool = False,
+    pre_applied: bool = False,
 ) -> jax.Array:
-    """y = A @ x (or A^T @ x) via the symmetric-strip decomposition."""
+    """y = A @ x (or A^T @ x) via the symmetric-strip decomposition.
+
+    `pre_applied`: the caller already folded the pre-scale into x — the
+    CBSR path scales the (V, k) values before densify (identical math,
+    and one fewer (V, D) transient: 1.25 GB at ogbn-products scale)."""
     v = h.num_nodes
     s = h.s_cols
     pre, post = (h.post, h.pre) if transpose else (h.pre, h.post)
-    xs = x * pre[:, None].astype(x.dtype)
+    xs = x if pre_applied else x * pre[:, None].astype(x.dtype)
 
     xc = xs.astype(h.strip.dtype)
     vp = h.padded_nodes
@@ -58,7 +65,9 @@ def spmm_hybrid(
     return (y * post[:, None]).astype(x.dtype)
 
 
-def spmm_hybrid_sharded(h, x: jax.Array, transpose: bool = False) -> jax.Array:
+def spmm_hybrid_sharded(
+    h, x: jax.Array, transpose: bool = False, pre_applied: bool = False
+) -> jax.Array:
     """Row-partitioned hybrid SpMM inside shard_map.
 
     `h` is a `parallel.shard.ShardedHybrid`; `x` is the FULL (Vp, D)
@@ -79,7 +88,7 @@ def spmm_hybrid_sharded(h, x: jax.Array, transpose: bool = False) -> jax.Array:
     pre, post = (h.local_post(), h.local_pre()) if transpose else (
         h.local_pre(), h.local_post()
     )
-    xs = x * pre[:, None].astype(x.dtype)
+    xs = x if pre_applied else x * pre[:, None].astype(x.dtype)
     w = h.local_strip()  # (Vs, S)
     xc = xs.astype(w.dtype)
     xh = xc[:s]
