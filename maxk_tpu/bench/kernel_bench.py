@@ -78,7 +78,7 @@ def validate_graph(graph, cbsr, dim, mode, tol=1e-3, compute_dtype=None):
 
     from maxk_tpu.ops.spgemm import maxk_spgemm
     from maxk_tpu.ops.spmm_xla import spmm_segsum, spmm_segsum_scan
-    from maxk_tpu.sparse.cbsr import cbsr_densify
+    from maxk_tpu.sparse.cbsr import CBSR, cbsr_densify
 
     # one-shot oracle while its (E, D) gather intermediate fits; the
     # edge-chunked scan oracle (same math, raw CSR — independent of the
@@ -101,10 +101,25 @@ def validate_graph(graph, cbsr, dim, mode, tol=1e-3, compute_dtype=None):
         )
     )(graph, cbsr)
     # no host sync needed: device executions run in order, so y's
-    # (large) temp buffers are freed before the oracle executes
-    ref = jax.jit(lambda g_, c: oracle(g_, cbsr_densify(c, dim)))(
-        graph.csr, cbsr
+    # (large) temp buffers are freed before the oracle executes.
+    # Above ~2 GB of (V, dim) f32, the oracle's densified input and
+    # output drop to compute_dtype (its cross-edge ACCUMULATION stays
+    # f32 inside segment_sum/scan) — an f32 reference at products scale
+    # pushes peak memory over the chip.
+    v, d = y.shape
+    oracle_dtype = (
+        compute_dtype
+        if compute_dtype is not None and v * d * 4 > (2 << 30)
+        else None
     )
+
+    def _ref(g_, c):
+        vals = c.values if oracle_dtype is None else c.values.astype(
+            oracle_dtype
+        )
+        return oracle(g_, cbsr_densify(CBSR(vals, c.selector), dim))
+
+    ref = jax.jit(_ref)(graph.csr, cbsr)
 
     @jax.jit
     def stats(y, ref):
@@ -304,6 +319,17 @@ def main(argv=None):
                 "fwd_gnnz_s": e_real / t_fwd / 1e9,
                 "speedup_vs_baseline": t_base / t_fwd,
             }
+            # persist the timing record BEFORE validation, and again with
+            # the validation fields: a late OOM (products k=64) must not
+            # lose the completed measurements
+            results.append(rec)
+
+            def dump():
+                if args.json_out:
+                    with open(args.json_out, "w") as f:
+                        json.dump(results, f, indent=1)
+
+            dump()
             if args.validate:
                 ok, detail = validate_graph(
                     graph, cbsr, args.dim, mode, compute_dtype=jnp.bfloat16
@@ -311,12 +337,7 @@ def main(argv=None):
                 rec["valid"] = ok
                 rec["validation"] = detail
                 log(f"  validate k={k}: ok={ok} {detail}")
-            results.append(rec)
-            # persist after EVERY record: a late OOM (products k=64) must
-            # not lose the completed measurements
-            if args.json_out:
-                with open(args.json_out, "w") as f:
-                    json.dump(results, f, indent=1)
+                dump()
         n += 1
     if args.json_out:
         log(f"wrote {args.json_out} ({len(results)} records)")
