@@ -100,15 +100,15 @@ def _spmm_impl(graph: Graph, x: jax.Array, mode: KernelMode, transpose: bool):
 
         return spmm_hybrid(graph.hybrid, x, transpose=transpose)
     if mode == KernelMode.PALLAS:
-        try:
-            from maxk_tpu.ops.spmm_pallas import spmm_pallas
-        except ImportError as e:
-            raise NotImplementedError(
-                "The Pallas panel-slab SpMM kernel is the round-2 design "
-                "(docs/PERF.md §3: VMEM-resident X slab across grid steps); "
-                "use kernel_mode='tiles_scan' (current production path)."
-            ) from e
-        return spmm_pallas(tiles, x)
+        raise NotImplementedError(
+            "kernel_mode='pallas' has no production kernel: the Pallas "
+            "brick SpMM was built (`ops/spmm_bricks.spmm_bricks`, runs on "
+            "real v5e) but measured 5.6x SLOWER than the XLA tile path "
+            "(one-hot densification flops dominate; docs/PERF.md), and "
+            "the per-row DMA-gather kernel does not compile on this "
+            "Mosaic toolchain. The production TPU kernel is the "
+            "symmetric-strip hybrid: kernel_mode='hybrid' (or 'auto')."
+        )
     if mode == KernelMode.TILES_XLA:
         return spmm_tiles_xla(tiles, x)
     if mode == KernelMode.TILES_SCAN:
