@@ -367,3 +367,54 @@ def shard_rows(x: np.ndarray, num_shards: int, fill=0) -> np.ndarray:
     v = x.shape[0]
     vs = -(-v // num_shards)
     return _pad_to(np.asarray(x), vs * num_shards, fill=fill)
+
+
+def halo_stats(csr: CSRGraph, num_shards: int, k: int = 32,
+               s_cols: int = 0) -> dict:
+    """Per-shard halo analysis for the row-partitioned aggregation —
+    quantifies the SURVEY §2.3 'halo feature-row exchange' design against
+    the current full compressed all_gather.
+
+    For shard i, the halo is the set of distinct off-shard rows referenced
+    as columns by its local block (excluding the hub strip [0, s), which
+    every shard needs and which a (s, k) psum serves). Returns per-step
+    receive bytes per device for three collective designs at CBSR width k:
+
+      all_gather:  (n-1)/n · Vp · k · 6 B   (values f32 + selector int16)
+      hub_psum + halo all_to_all: 2·s·k·6/n·(n-1)  +  halo_i · k · 6
+
+    The degree-sorted ordering (`hybrid.degree_perm`) concentrates hot
+    columns in the hub strip, which is exactly what shrinks the halo.
+    """
+    indptr = np.asarray(csr.indptr, dtype=np.int64)
+    nnz = int(indptr[-1])
+    cols = np.asarray(csr.indices, dtype=np.int64)[:nnz]
+    vals = np.asarray(csr.values, dtype=np.float32)[:nnz]
+    v = csr.num_nodes
+    vs = -(-v // num_shards)
+    rows = np.repeat(np.arange(v, dtype=np.int64), np.diff(indptr[: v + 1]))
+    live = vals != 0
+    s = int(s_cols)
+
+    bytes_per_row = k * 6  # f32 value + int16 selector
+    full_ag = (num_shards - 1) / num_shards * vs * num_shards * bytes_per_row
+    shards = []
+    for i in range(num_shards):
+        m = live & (rows >= i * vs) & (rows < (i + 1) * vs) & (cols >= s)
+        c = np.unique(cols[m])
+        halo = c[(c < i * vs) | (c >= (i + 1) * vs)]
+        shards.append(int(halo.shape[0]))
+    hub_bytes = 2 * s * bytes_per_row * (num_shards - 1) / max(num_shards, 1)
+    return {
+        "num_shards": num_shards,
+        "k": k,
+        "s_cols": s,
+        "halo_rows_per_shard": shards,
+        "allgather_recv_bytes_per_device": int(full_ag),
+        "halo_recv_bytes_per_device_max": int(
+            hub_bytes + max(shards) * bytes_per_row
+        ),
+        "reduction_vs_allgather": round(
+            full_ag / max(hub_bytes + max(shards) * bytes_per_row, 1), 2
+        ),
+    }

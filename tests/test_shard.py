@@ -335,3 +335,22 @@ def test_sharded_setup_hybrid_training_learns(tiny_data):
     )
     assert losses[-1] < losses[0] * 0.7, losses[:3] + losses[-3:]
     assert float(va) > 0.5, float(va)
+
+
+def test_halo_stats():
+    """Halo analysis: sane fields, and the documented negative result —
+    at reddit-like density the halo exchange does NOT beat the full
+    compressed all_gather (each shard's tail references most rows), which
+    is why the production collective design is hub-psum-free."""
+    from maxk_tpu.data.synthetic import rmat_graph
+    from maxk_tpu.parallel.shard import halo_stats
+    from maxk_tpu.sparse.hybrid import degree_perm, permute_csr
+
+    g = rmat_graph(2048, 200_000, seed=3)
+    pg = permute_csr(g, degree_perm(g))
+    st = halo_stats(pg, 4, k=32, s_cols=256)
+    assert len(st["halo_rows_per_shard"]) == 4
+    assert all(0 <= h <= 2048 for h in st["halo_rows_per_shard"])
+    assert st["allgather_recv_bytes_per_device"] > 0
+    # dense-regime R-MAT: halo ≈ all rows -> no reduction
+    assert st["reduction_vs_allgather"] < 1.5
