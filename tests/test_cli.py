@@ -107,6 +107,24 @@ def test_plots_ksweep_and_scaling(tmp_path):
     assert os.path.exists(plot_scaling(sc, str(tmp_path)))
 
 
+def test_plot_spgemm_study(tmp_path):
+    from maxk_tpu.bench.plots import plot_spgemm_study
+
+    study = {
+        "graph": "flickr", "V": 100, "E": 1000,
+        "results": [
+            {"sparsity": 0.5, "k": 128, "flop": 1.0,
+             "segsum_topk": {"numeric_ms": 1.0, "symbolic_ms": 0.5,
+                             "total_ms": 1.5, "gflops": 1.0},
+             "hybrid_topk": {"densify_ms": 0.2, "numeric_ms": 0.7,
+                             "symbolic_ms": 0.5, "total_ms": 1.4,
+                             "gflops": 1.0}},
+        ],
+    }
+    assert os.path.exists(plot_spgemm_study(study, str(tmp_path)))
+    assert os.path.exists(plot_spgemm_study([study, study], str(tmp_path)))
+
+
 def test_train_cli_tiny(tmp_path):
     from train import main
 
