@@ -122,6 +122,17 @@ def main(argv=None):
             # per device): compressed CBSR vs dense row gather, plus the
             # hybrid's (S,D) hub-partial psum
             fwd_bytes = v * (k * 8) if nonlinear == "maxk" else v * (d * 4)
+            # analytic halo-exchange alternative (hub psum + per-shard
+            # halo all_to_all): measured unprofitable at reddit density
+            # (parallel/shard.halo_stats, docs/PERF.md) — recorded so the
+            # artifact shows the design comparison per graph
+            if nonlinear == "maxk" and n > 1:
+                from maxk_tpu.parallel.shard import halo_stats
+
+                hs = halo_stats(data.csr, n, k=k, s_cols=0)
+                halo_alt = hs["halo_recv_bytes_per_device_max"]
+            else:
+                halo_alt = None
             rec = {
                 "arm": arm, "n": n, "step_ms": round(ms, 2),
                 "fwd_allgather_bytes_per_layer": fwd_bytes,
@@ -130,6 +141,8 @@ def main(argv=None):
                 rec["fwd_hub_psum_bytes_per_layer"] = (
                     sgraph.hybrid.s_cols * d * 4
                 )
+            if halo_alt is not None:
+                rec["halo_alt_recv_bytes_per_device"] = halo_alt
             results.append(rec)
             log(f"  {arm} n={n}: {ms:.2f} ms/step "
                 f"loss={float(loss):.4f}")
