@@ -140,6 +140,26 @@ def test_device_tiles_spmm_matches(small_graph):
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-4, atol=1e-4)
 
 
+def test_device_tiles_exact_count():
+    """Device builder emits EXACTLY the host builder's tables — the
+    ceil(E/T)+NB bound used to append up to NB all-padding surplus tiles
+    that the tail scan then gathered for nothing."""
+    from maxk_tpu.data.device_gen import rmat_graph_device
+    from maxk_tpu.sparse.meta import build_edge_tiles_device
+
+    g = rmat_graph_device(700, 9000, seed=11)
+    for r, t in [(8, 64), (32, 32), (8, 256)]:
+        th = build_edge_tiles(g, r, t)
+        td = build_edge_tiles_device(g, r, t)
+        assert td.num_tiles == th.num_tiles
+        np.testing.assert_array_equal(np.asarray(td.block), np.asarray(th.block))
+        np.testing.assert_array_equal(np.asarray(td.cols), np.asarray(th.cols))
+        np.testing.assert_allclose(np.asarray(td.vals), np.asarray(th.vals))
+        np.testing.assert_array_equal(
+            np.asarray(td.localrow), np.asarray(th.localrow)
+        )
+
+
 def test_device_rmat_valid_csr():
     from maxk_tpu.data.device_gen import rmat_graph_device
     from maxk_tpu.sparse.csr import with_norm
