@@ -87,13 +87,16 @@ def spmm_tiles_xla(tiles: EdgeTiles, x: jax.Array) -> jax.Array:
     r = tiles.row_block
     nb = tiles.num_row_blocks
     gathered = x[tiles.cols]  # (NT, T, D)
-    weighted = gathered * tiles.vals[..., None].astype(x.dtype)
-    onehot = jax.nn.one_hot(tiles.localrow, r, dtype=x.dtype)  # (NT, T, R)
+    # edge weights ride in the (NT, T, R) one-hot (R ≪ D ⇒ less traffic
+    # than weighting the gathered rows; same contraction algebraically)
+    onehot = jax.nn.one_hot(tiles.localrow, r, dtype=x.dtype) * tiles.vals[
+        ..., None
+    ].astype(x.dtype)
     # cross-tile accumulation stays f32 even under bf16 compute
     partial = jnp.einsum(
         "ntr,ntd->nrd",
         onehot,
-        weighted,
+        gathered,
         precision="highest",
         preferred_element_type=jnp.float32,
     )
@@ -162,10 +165,16 @@ def spmm_tiles_scan(
                 gathered,
                 preferred_element_type=jnp.float32,
             )[:, None, :]
-        weighted = gathered * v[..., None].astype(x.dtype)
-        onehot = jax.nn.one_hot(lr, r, dtype=x.dtype)  # (chunk, T, R)
+        # fold the edge weights into the (chunk, T, R) one-hot, NOT the
+        # (chunk, T, D) gathered rows: with R ≪ D this removes the
+        # full-width `weighted` intermediate entirely (one fewer
+        # (chunk, T, D) HBM round-trip per scan step; the tail arm is
+        # intermediate-traffic-bound above the raw gather floor)
+        onehot = jax.nn.one_hot(lr, r, dtype=x.dtype) * v[..., None].astype(
+            x.dtype
+        )
         return jnp.einsum(
-            "ctr,ctd->crd", onehot, weighted, preferred_element_type=jnp.float32
+            "ctr,ctd->crd", onehot, gathered, preferred_element_type=jnp.float32
         )
 
     def seed(acc):
