@@ -61,7 +61,10 @@ def spmm_hybrid(
     # The strip output seeds the scan accumulator (acc0) so only one
     # (V, D) f32 buffer lives — at products scale the separate-add form
     # is 2×2.5 GB and OOMs next to the 5.6 GB strip.
-    y = spmm_tiles_scan(h.tail_tiles, xs, chunk=h.tail_chunk, acc0=y[:v])
+    y = spmm_tiles_scan(
+        h.tail_tiles, xs, chunk=h.tail_chunk, acc0=y[:v],
+        window=h.tail_window or None,
+    )
     return (y * post[:, None]).astype(x.dtype)
 
 
@@ -112,7 +115,8 @@ def spmm_hybrid_sharded(
     y = jnp.where((grow < s)[:, None], hslice, y)
 
     y = spmm_tiles_scan(
-        h.local_tail_tiles(), xs, chunk=h.tail_chunk, acc0=y
+        h.local_tail_tiles(), xs, chunk=h.tail_chunk, acc0=y,
+        window=h.tail_window or None,
     )
     post_loc = jax.lax.dynamic_slice_in_dim(post, r0, vs)
     return (y * post_loc[:, None]).astype(x.dtype)

@@ -112,6 +112,7 @@ def spmm_tiles_scan(
     chunk: int = 256,
     accumulate: str = "matmul",
     acc0: jax.Array | None = None,
+    window: int | None = None,
 ) -> jax.Array:
     """Memory-bounded tile SpMM: lax.scan over tile chunks.
 
@@ -133,6 +134,15 @@ def spmm_tiles_scan(
     output) pass it here instead of materializing result + partial + sum
     as three (V, D) f32 buffers; at ogbn-products scale each such buffer
     is 2.5 GB and the separate-add form OOMs.
+
+    `window` (matmul mode): static width of the accumulator read-modify-
+    write slice, in row-blocks. Correct iff every aligned chunk of tiles
+    spans < window blocks — callers with concrete tile tables compute the
+    exact max span at build time (`max_block_span`); None keeps the safe
+    upper bound `chunk` (tiles are block-sorted and each block has ≥1
+    tile, so a chunk of `chunk` tiles can never span more). Shrinking the
+    window cuts the dominant per-step HBM traffic when R is large: the
+    RMW moves window·R·D f32 twice per step.
     """
     r = tiles.row_block
     nb = tiles.num_row_blocks
@@ -197,24 +207,26 @@ def spmm_tiles_scan(
         out = acc.reshape(nb * r, d)[: tiles.num_nodes]
         return out if acc0 is not None else out.astype(x.dtype)
 
+    w = chunk if window is None else max(min(window, chunk), 1)
+
     def step(acc, inp):
         b, c, v, lr = inp
         partial = partial_of(c, v, lr)  # (chunk, R, D) f32
         b0 = b[0]
-        rel = b - b0  # ascending, in [0, chunk)
+        rel = b - b0  # ascending, in [0, w)
         seg_oh = (
             rel[None, :]
-            == jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (w, chunk), 0)
         ).astype(jnp.float32)
-        win = (seg_oh @ partial.reshape(chunk, r * d)).reshape(chunk, r, d)
-        cur = jax.lax.dynamic_slice(acc, (b0, 0, 0), (chunk, r, d))
+        win = (seg_oh @ partial.reshape(chunk, r * d)).reshape(w, r, d)
+        cur = jax.lax.dynamic_slice(acc, (b0, 0, 0), (w, r, d))
         return jax.lax.dynamic_update_slice(acc, cur + win, (b0, 0, 0)), None
 
-    # pad the accumulator so the chunk window never clamps at the end;
+    # pad the accumulator so the window never clamps at the end;
     # accumulator is f32 regardless of compute dtype
-    acc = seed(jnp.zeros((nb + chunk, r, d), dtype=jnp.float32))
+    acc = seed(jnp.zeros((nb + w, r, d), dtype=jnp.float32))
     acc, _ = jax.lax.scan(step, acc, (blocks, cols, vals, lrow))
-    out = acc.reshape((nb + chunk) * r, d)[: tiles.num_nodes]
+    out = acc.reshape((nb + w) * r, d)[: tiles.num_nodes]
     # seeded calls are mid-accumulation: stay f32 (the caller casts once)
     return out if acc0 is not None else out.astype(x.dtype)
 

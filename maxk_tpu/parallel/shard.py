@@ -171,6 +171,8 @@ class ShardedHybrid:
     num_shards: int = struct.field(pytree_node=False, default=1)
     row_block: int = struct.field(pytree_node=False, default=8)
     tail_chunk: int = struct.field(pytree_node=False, default=256)
+    # exact tail-scan RMW window, max over shards (0 = full chunk)
+    tail_window: int = struct.field(pytree_node=False, default=0)
 
     @property
     def shard_nodes(self) -> int:
@@ -256,6 +258,12 @@ def build_sharded_hybrid(
         b.sort_indices()
         blocks.append(b)
     tail_tiles = _stack_tiles(blocks, vs, row_block, edge_tile)
+    from maxk_tpu.sparse.meta import max_block_span
+
+    tail_window = max(
+        max_block_span(b, tail_chunk)
+        for b in np.asarray(tail_tiles["block"])
+    )
 
     n = num_shards
     return ShardedHybrid(
@@ -270,6 +278,7 @@ def build_sharded_hybrid(
         num_shards=n,
         row_block=row_block,
         tail_chunk=tail_chunk,
+        tail_window=tail_window,
     )
 
 

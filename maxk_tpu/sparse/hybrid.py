@@ -128,6 +128,9 @@ class HybridSchedule:
     s_cols: int = struct.field(pytree_node=False, default=STRIP_COLS)
     # tiles per scan step of the tail arm (probe-tunable; spmm_hybrid)
     tail_chunk: int = struct.field(pytree_node=False, default=256)
+    # exact accumulator RMW window for the tail scan (0 = full chunk);
+    # computed at build time from the block table (`meta.max_block_span`)
+    tail_window: int = struct.field(pytree_node=False, default=0)
 
     @property
     def padded_nodes(self) -> int:
@@ -216,6 +219,9 @@ def build_hybrid(
     in_tail = (cols >= s) & (rows >= s) & live
     tail = _subgraph_host(v, rows[in_tail], cols[in_tail], vals[in_tail])
     tail_tiles = build_edge_tiles(tail, row_block, edge_tile)
+    from maxk_tpu.sparse.meta import max_block_span
+
+    tail_window = max_block_span(tail_tiles.block, tail_chunk)
 
     deg = jax.ops.segment_sum(
         jnp.asarray(live.astype(np.float32)),
@@ -231,6 +237,7 @@ def build_hybrid(
         num_nodes=v,
         s_cols=s,
         tail_chunk=tail_chunk,
+        tail_window=tail_window,
     )
 
 
@@ -389,6 +396,11 @@ def build_hybrid_device(
         values=tail_vals[:tl_pad],
     )
     tail_tiles = build_edge_tiles_device(tail, row_block, edge_tile)
+    from maxk_tpu.sparse.meta import max_block_span
+
+    # one ~400 KB block-table download at build time buys the exact
+    # RMW window for every subsequent tail scan
+    tail_window = max_block_span(tail_tiles.block, tail_chunk)
     pre, post = _scales(deg, norm)
     return HybridSchedule(
         strip=strip,
@@ -398,4 +410,5 @@ def build_hybrid_device(
         num_nodes=v,
         s_cols=s,
         tail_chunk=tail_chunk,
+        tail_window=tail_window,
     )

@@ -141,6 +141,25 @@ def build_edge_tiles(
     )
 
 
+def max_block_span(block, chunk: int) -> int:
+    """Exact max row-block span of any aligned `chunk` of tiles.
+
+    `spmm_tiles_scan(..., window=w)` is correct iff w ≥ this value for
+    the same chunk size; computing it at schedule-build time lets the
+    scan shrink its accumulator read-modify-write slice from `chunk`
+    blocks to the actual span (block-sorted tail tables average many
+    tiles per block, so the span is far below the worst case).
+    """
+    b = np.asarray(block)
+    nt = b.shape[0]
+    if nt == 0:
+        return 1
+    nc = -(-nt // chunk)
+    bp = np.pad(b, (0, nc * chunk - nt), mode="edge").reshape(nc, chunk)
+    span = int((bp[:, -1] - bp[:, 0]).max()) + 1
+    return min(-(-span // 8) * 8, chunk)
+
+
 def build_edge_tiles_device(
     g: CSRGraph,
     row_block: int = ROW_BLOCK,

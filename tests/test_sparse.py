@@ -224,3 +224,27 @@ def test_reorder_rcm_preserves_spmm(small_graph):
         return np.mean(spans)
 
     assert mean_span(g2) < mean_span(small_graph)
+
+
+def test_tiles_scan_window_exact():
+    """Shrunk RMW window (build-time max_block_span) is numerically
+    identical to the full-chunk window, including the padded final
+    chunk whose inert tiles alias block nb-1 outside the window."""
+    import jax.numpy as jnp
+
+    from maxk_tpu.data.device_gen import rmat_graph_device
+    from maxk_tpu.ops.spmm_xla import spmm_segsum, spmm_tiles_scan
+    from maxk_tpu.sparse.meta import build_edge_tiles, max_block_span
+
+    g = rmat_graph_device(900, 12000, seed=13)
+    tiles = build_edge_tiles(g, 8, 64)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((900, 64)), jnp.float32)
+    ref = np.asarray(spmm_segsum(g, x))
+    for chunk in (16, 64):
+        w = max_block_span(tiles.block, chunk)
+        assert w <= chunk
+        y = np.asarray(spmm_tiles_scan(tiles, x, chunk=chunk, window=w))
+        np.testing.assert_allclose(y, ref, rtol=2e-4, atol=2e-4)
+        yf = np.asarray(spmm_tiles_scan(tiles, x, chunk=chunk))
+        np.testing.assert_allclose(y, yf, rtol=1e-6, atol=1e-6)
