@@ -78,7 +78,8 @@ def main():
         f"hybrid build ({time.time()-t0:.1f}s): strip {h.strip.shape} "
         f"{h.strip.dtype} ({h.strip.size*h.strip.dtype.itemsize/1e9:.2f} GB), "
         f"tail tiles {tail_tiles} (~{tail_tiles*h.tail_tiles.cols.shape[1]/1e6:.1f}M "
-        f"slots, {tail_live/1e6:.1f}M live = {tail_live/live*100:.1f}% of E)"
+        f"slots, {tail_live/1e6:.1f}M live = {tail_live/live*100:.1f}% of E), "
+        f"tail_window {h.tail_window}/{h.tail_chunk}"
     )
 
     x = jax.jit(
@@ -133,13 +134,17 @@ def main():
     # arm split: strip-only vs tail-only timing
     from maxk_tpu.ops.spmm_xla import spmm_tiles_scan as _scan
 
+    from maxk_tpu.sparse.meta import max_block_span
+
     for chunk in (args.tail_chunk, args.tail_chunk * 2):
-        tailf = jax.jit(
-            lambda tt, xx, c=chunk: _scan(tt, xx, chunk=c)
-        )
-        t_tail = timeit(tailf, h.tail_tiles, x)
-        log(f"  tail arm alone ({x.dtype}, chunk={chunk}): "
-            f"{t_tail*1e3:.2f} ms")
+        win = max_block_span(h.tail_tiles.block, chunk)
+        for w in (None, win):
+            tailf = jax.jit(
+                lambda tt, xx, c=chunk, w_=w: _scan(tt, xx, chunk=c, window=w_)
+            )
+            t_tail = timeit(tailf, h.tail_tiles, x)
+            log(f"  tail arm alone ({x.dtype}, chunk={chunk}, "
+                f"window={w or chunk}): {t_tail*1e3:.2f} ms")
 
     # matmul arm breakdown (strip dtype inputs)
     s = h.s_cols
