@@ -46,14 +46,17 @@ def spmm_hybrid(
         xc = jnp.pad(xc, ((0, vp - v), (0, 0)))
     xh = xc[:s]
 
-    # hub-columns arm: all rows × cols<S
-    y = jnp.dot(h.strip, xh, preferred_element_type=jnp.float32)
-    # hub-rows arm minus corner double-count: rows<S × all cols
-    yh = (
-        jnp.einsum("vs,vd->sd", h.strip, xc, preferred_element_type=jnp.float32)
-        - jnp.dot(h.strip[:s], xh, preferred_element_type=jnp.float32)
+    # rows<S: symmetry covers ALL their columns via W^T @ xs, and the
+    # corner term W[:S] @ xh cancels exactly against the hub-columns arm
+    # there — so compute the two disjoint row ranges directly instead of
+    # the add-then-subtract form (saves the (S, S, D) corner matmul and
+    # S wasted rows of W @ xh)
+    yh = jnp.einsum(
+        "vs,vd->sd", h.strip, xc, preferred_element_type=jnp.float32
     )
-    y = jax.lax.dynamic_update_slice(y, y[:s] + yh, (0, 0))
+    # rows≥S: hub-columns arm only
+    yt = jnp.dot(h.strip[s:], xh, preferred_element_type=jnp.float32)
+    y = jnp.concatenate([yh, yt])
 
     # tail arm: rows≥S × cols≥S leftover edges on the gather path, in the
     # input dtype (measured at reddit scale: bf16 gather is NOT faster —
