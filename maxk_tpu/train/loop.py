@@ -286,8 +286,18 @@ def train(
                     f"  profile: fwd {1e3*(time.perf_counter()-t1):.2f} ms "
                     f"of {dt*1e3:.2f} ms step"
                 )
-        tr, va, te = eval_step(state.variables, state.graph, feats, labels, masks)
-        tr, va, te = float(tr), float(va), float(te)
+        # ONE batched host fetch for loss + the three metrics: each
+        # sequential float() is a full tunnel roundtrip (30-60 ms), which
+        # dominates small-scale epochs and would wash the arm-vs-arm
+        # speed deltas out of the k-sweep artifact
+        loss, tr, va, te = (
+            float(q) for q in jax.device_get(
+                (loss,)
+                + tuple(
+                    eval_step(state.variables, state.graph, feats, labels, masks)
+                )
+            )
+        )
         improved = va > state.best_val
         if improved:
             state.best_val, state.best_test = va, te
