@@ -120,11 +120,16 @@ def run_sharded(cfg, data, logger, writer):
         dt = time.perf_counter() - t0
         if epoch >= 10:
             times.append(dt)
-        tr, va, te = eval_step(
-            variables, sgraph, arrays["feats"], arrays["labels"],
-            (arrays["train"], arrays["val"], arrays["test"]),
+        # one batched host fetch (loss + metrics): sequential float()
+        # pays a full tunnel roundtrip each — see train/loop.py
+        loss, tr, va, te = (
+            float(q) for q in jax.device_get(
+                (loss,) + tuple(eval_step(
+                    variables, sgraph, arrays["feats"], arrays["labels"],
+                    (arrays["train"], arrays["val"], arrays["test"]),
+                ))
+            )
         )
-        tr, va, te = float(tr), float(va), float(te)
         if va > best_val:
             best_val, best_test = va, te
         writer.add_scalar("loss", float(loss), epoch)
