@@ -42,6 +42,8 @@ def main(argv=None):
     p.add_argument("--kernel_mode", default="auto")
     p.add_argument("--compute_dtype", default="")
     p.add_argument("--seed", type=int, default=97)
+    p.add_argument("--json_out", default="",
+                   help="persist results incrementally (timeout-safe)")
     args = p.parse_args(argv)
 
     import jax
@@ -89,6 +91,11 @@ def main(argv=None):
                 results.append(rec)
                 log(f"  {model}/{arm}: val {rec['best_val']} "
                     f"test {rec['best_test']} {ms:.1f} ms/ep")
+                if args.json_out:
+                    # persist after EVERY arm: a tunnel wedge + timeout
+                    # kill must not lose completed measurements
+                    with open(args.json_out, "w") as f:
+                        json.dump(results, f, indent=1)
 
     # per (dataset, model): accuracy delta + speedup vs the relu arm,
     # the two columns of the reference's plotgnn tables

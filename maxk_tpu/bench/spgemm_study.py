@@ -50,6 +50,8 @@ def main(argv=None):
                    help="SpMM mode for the dense_topk arm")
     p.add_argument("--validate", action="store_true", default=True)
     p.add_argument("--no-validate", dest="validate", action="store_false")
+    p.add_argument("--json_out", default="",
+                   help="persist results incrementally (timeout-safe)")
     args = p.parse_args(argv)
 
     import jax
@@ -184,6 +186,11 @@ def main(argv=None):
         results.append(rec)
         log(f"  s={sp} (k={k}): " + " | ".join(
             f"{n} {sum(ph.values()):.2f}ms" for n, ph in arms.items()))
+        if args.json_out:
+            # persist after every sparsity point (timeout/wedge safety)
+            with open(args.json_out, "w") as f:
+                json.dump({"graph": args.graph, "V": v, "E": e_real,
+                           "results": results}, f, indent=1)
 
     best = {}
     for rec in results:
