@@ -32,6 +32,8 @@ def main():
     p.add_argument("--tail_chunk", type=int, default=256)
     p.add_argument("--tail_bf16", action="store_true",
                    help="gather the tail in bf16")
+    p.add_argument("--tail_band_cols", type=int, default=0,
+                   help="column-band the tail into slices of this width")
     args = p.parse_args()
 
     import jax
@@ -71,7 +73,14 @@ def main():
     h = build_hybrid_device(
         pg, s_cols=args.s, norm=args.norm, strip_dtype=dt,
         row_block=args.tail_row_block, edge_tile=args.tail_tile,
+        tail_band_cols=args.tail_band_cols,
     )
+    if h.tail_band_meta:
+        slots = sum(
+            b.num_tiles * b.edge_tile for b in h.tail_bands
+        )
+        log(f"tail bands: {len(h.tail_bands)} "
+            f"({slots/1e6:.1f}M slots total) meta={h.tail_band_meta}")
     tail_tiles = int(h.tail_tiles.block.shape[0])
     tail_live = int(jnp.asarray(jnp.sum(h.tail_tiles.vals != 0)))
     log(

@@ -64,10 +64,20 @@ def spmm_hybrid(
     # The strip output seeds the scan accumulator (acc0) so only one
     # (V, D) f32 buffer lives — at products scale the separate-add form
     # is 2×2.5 GB and OOMs next to the 5.6 GB strip.
-    y = spmm_tiles_scan(
-        h.tail_tiles, xs, chunk=h.tail_chunk, acc0=y[:v],
-        window=h.tail_window or None,
-    )
+    if h.tail_band_meta:
+        # column-banded tail: each band gathers from a narrow x slice
+        # (cols are rebased at build time); bands chain through acc0
+        y = y[:v]
+        for tiles_b, (c0, width, win) in zip(h.tail_bands, h.tail_band_meta):
+            xb = jax.lax.slice_in_dim(xs, c0, c0 + width)
+            y = spmm_tiles_scan(
+                tiles_b, xb, chunk=h.tail_chunk, acc0=y, window=win or None
+            )
+    else:
+        y = spmm_tiles_scan(
+            h.tail_tiles, xs, chunk=h.tail_chunk, acc0=y[:v],
+            window=h.tail_window or None,
+        )
     return (y * post[:, None]).astype(x.dtype)
 
 

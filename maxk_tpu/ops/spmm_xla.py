@@ -207,7 +207,9 @@ def spmm_tiles_scan(
         out = acc.reshape(nb * r, d)[: tiles.num_nodes]
         return out if acc0 is not None else out.astype(x.dtype)
 
-    w = chunk if window is None else max(min(window, chunk), 1)
+    # w may exceed chunk for elided-empty tile tables (block-id gaps);
+    # window=None assumes the dense-coverage invariant (span ≤ chunk)
+    w = chunk if window is None else max(window, 1)
 
     def step(acc, inp):
         b, c, v, lr = inp

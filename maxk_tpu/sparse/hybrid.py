@@ -131,6 +131,15 @@ class HybridSchedule:
     # exact accumulator RMW window for the tail scan (0 = full chunk);
     # computed at build time from the block table (`meta.max_block_span`)
     tail_window: int = struct.field(pytree_node=False, default=0)
+    # column-banded tail (optional): per-band tile tables whose column
+    # indices are REBASED to the band start, so each scan gathers from a
+    # narrow (band, D) slice of x — measured XLA gathers from ≤32K-row
+    # tables run ~1.6× faster than from ≥256K tables (docs/PERF.md).
+    # Empty tuple = single-band (tail_tiles). Bands chain through the
+    # scan accumulator, so the result is bit-identical either way.
+    tail_bands: tuple = ()
+    # per-band (col_start, col_width, window) — static schedule metadata
+    tail_band_meta: tuple = struct.field(pytree_node=False, default=())
 
     @property
     def padded_nodes(self) -> int:
@@ -197,10 +206,12 @@ def build_hybrid(
     row_block: int = ROW_BLOCK,
     edge_tile: int = TAIL_EDGE_TILE,
     tail_chunk: int = 256,
+    tail_band_cols: int = 0,
 ) -> HybridSchedule:
     """Host (numpy) build. `csr` must already be degree-permuted
     (`permute_csr(csr, degree_perm(csr))`) and RAW-value-symmetric; `norm`
-    only sets the diagonal scales."""
+    only sets the diagonal scales. `tail_band_cols` > 0 splits the tail
+    into column bands of that width (see HybridSchedule.tail_bands)."""
     indptr = np.asarray(csr.indptr, dtype=np.int64)
     nnz = int(indptr[-1])
     v = csr.num_nodes
@@ -223,6 +234,26 @@ def build_hybrid(
 
     tail_window = max_block_span(tail_tiles.block, tail_chunk)
 
+    tail_bands: tuple = ()
+    band_meta: tuple = ()
+    if tail_band_cols > 0 and v - s > tail_band_cols:
+        bands = []
+        meta = []
+        for c0 in range(s, v, tail_band_cols):
+            width = min(tail_band_cols, v - c0)
+            m = in_tail & (cols >= c0) & (cols < c0 + width)
+            if not m.any():
+                continue  # empty band would still cost one pad tile/block
+            # columns REBASED to the band start: the scan gathers from
+            # x[c0 : c0+width]
+            sub = _subgraph_host(v, rows[m], cols[m] - c0, vals[m])
+            # empty blocks elided: every band scan is acc0-seeded, so
+            # untouched output blocks are already correct
+            tb = build_edge_tiles(sub, row_block, edge_tile, elide_empty=True)
+            bands.append(tb)
+            meta.append((c0, width, max_block_span(tb.block, tail_chunk)))
+        tail_bands, band_meta = tuple(bands), tuple(meta)
+
     deg = jax.ops.segment_sum(
         jnp.asarray(live.astype(np.float32)),
         jnp.asarray(rows.astype(np.int32)),
@@ -238,6 +269,8 @@ def build_hybrid(
         s_cols=s,
         tail_chunk=tail_chunk,
         tail_window=tail_window,
+        tail_bands=tail_bands,
+        tail_band_meta=band_meta,
     )
 
 
@@ -300,6 +333,7 @@ def build_hybrid_device(
     row_block: int = ROW_BLOCK,
     edge_tile: int = TAIL_EDGE_TILE,
     tail_chunk: int = 256,
+    tail_band_cols: int = 0,
 ) -> HybridSchedule:
     """On-device build (jit; one-time per graph). Same semantics as
     `build_hybrid`."""
@@ -401,6 +435,52 @@ def build_hybrid_device(
     # one ~400 KB block-table download at build time buys the exact
     # RMW window for every subsequent tail scan
     tail_window = max_block_span(tail_tiles.block, tail_chunk)
+
+    tail_bands: tuple = ()
+    band_meta: tuple = ()
+    if tail_band_cols > 0 and v - s > tail_band_cols:
+        # per-band extraction from the (already row/col-sorted) trimmed
+        # tail stream: filtering a col range preserves CSR order, so one
+        # 2-key sort per band over ~7% of E suffices
+        @functools.partial(jax.jit, static_argnums=(3,))
+        def band_extract(indptr, cols_, vals_, width, c0):
+            e2 = cols_.shape[0]
+            ar = jnp.arange(e2, dtype=jnp.int32)
+            rows2 = rows_from_indptr(indptr, e2, v)
+            live2 = (ar < indptr[-1]) & (vals_ != 0)
+            inb = live2 & (cols_ >= c0) & (cols_ < c0 + width)
+            br = jnp.where(inb, rows2, v)
+            bc = jnp.where(inb, cols_ - c0, v)
+            br, bc, bv = jax.lax.sort((br, bc, vals_), num_keys=2)
+            ip = jnp.searchsorted(
+                br, jnp.arange(v + 1, dtype=jnp.int32)
+            ).astype(jnp.int32)
+            return (
+                ip,
+                jnp.where(br < v, bc, 0).astype(jnp.int32),
+                jnp.where(br < v, bv, 0.0),
+            )
+
+        bands = []
+        meta = []
+        for c0 in range(s, v, tail_band_cols):
+            width = min(tail_band_cols, v - c0)
+            ip, bc, bv = band_extract(
+                tail.indptr, tail.indices, tail.values, width, jnp.int32(c0)
+            )
+            bl = int(np.asarray(ip[-1]))
+            if bl == 0:
+                continue  # empty band would still cost one pad tile/block
+            bl_pad = max(-(-bl // edge_tile) * edge_tile, edge_tile)
+            # empty blocks elided: band scans are acc0-seeded
+            tb = build_edge_tiles_device(
+                CSRGraph(indptr=ip, indices=bc[:bl_pad], values=bv[:bl_pad]),
+                row_block, edge_tile, elide_empty=True,
+            )
+            bands.append(tb)
+            meta.append((c0, width, max_block_span(tb.block, tail_chunk)))
+        tail_bands, band_meta = tuple(bands), tuple(meta)
+
     pre, post = _scales(deg, norm)
     return HybridSchedule(
         strip=strip,
@@ -411,4 +491,6 @@ def build_hybrid_device(
         s_cols=s,
         tail_chunk=tail_chunk,
         tail_window=tail_window,
+        tail_bands=tail_bands,
+        tail_band_meta=band_meta,
     )

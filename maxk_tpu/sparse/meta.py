@@ -24,6 +24,8 @@ block is written (zeroed) exactly once.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -68,12 +70,19 @@ def build_edge_tiles(
     g: CSRGraph,
     row_block: int = ROW_BLOCK,
     edge_tile: int = EDGE_TILE,
+    elide_empty: bool = False,
 ) -> EdgeTiles:
     """Host-side CSR → edge tiles (vectorized numpy; C++ fast path in
     `maxk_tpu.sparse._native` when built).
 
     Role of `kernels/generate_meta.py` but emitting rectangular tensors
     instead of a ragged quadruple stream.
+
+    `elide_empty`: blocks with no edges get NO tile (instead of one
+    all-padding tile). Only valid for consumers whose accumulator is
+    seeded/zero-initialized independently of tile coverage (the scan
+    paths); the banded hybrid tail relies on it — without elision each
+    band pays one pad tile per empty (block, band) combination.
     """
     indptr = np.asarray(g.indptr, dtype=np.int64)
     # trim any inert tail past indptr[-1] (device soft-dedup compaction)
@@ -85,7 +94,11 @@ def build_edge_tiles(
 
     from maxk_tpu.sparse import _native
 
-    native = _native.edge_tiles_native(indptr, cols, vals, row_block, edge_tile)
+    native = (
+        None
+        if elide_empty
+        else _native.edge_tiles_native(indptr, cols, vals, row_block, edge_tile)
+    )
     if native is not None:
         tb, tc, tv, tl = native
         return EdgeTiles(
@@ -108,7 +121,11 @@ def build_edge_tiles(
     block_end = indptr[row_block :: row_block]
     block_end = np.concatenate([block_end, [indptr[-1]]])[:nb]
     counts = block_end - block_start  # edges per row-block
-    ntiles = np.maximum(-(-counts // edge_tile), 1).astype(np.int64)
+    ntiles = (-(-counts // edge_tile)).astype(np.int64)
+    if not elide_empty:
+        ntiles = np.maximum(ntiles, 1)
+    elif ntiles.sum() == 0:
+        ntiles[0] = 1  # degenerate empty graph: keep one inert tile
     nt = int(ntiles.sum())
 
     tile_block = np.repeat(np.arange(nb, dtype=np.int32), ntiles)
@@ -157,13 +174,16 @@ def max_block_span(block, chunk: int) -> int:
     nc = -(-nt // chunk)
     bp = np.pad(b, (0, nc * chunk - nt), mode="edge").reshape(nc, chunk)
     span = int((bp[:, -1] - bp[:, 0]).max()) + 1
-    return min(-(-span // 8) * 8, chunk)
+    # NOT clamped to chunk: elided-empty tables (gaps in block ids) can
+    # legitimately span more than `chunk` blocks per chunk of tiles
+    return -(-span // 8) * 8
 
 
 def build_edge_tiles_device(
     g: CSRGraph,
     row_block: int = ROW_BLOCK,
     edge_tile: int = EDGE_TILE,
+    elide_empty: bool = False,
 ) -> EdgeTiles:
     """On-device tile construction (pure jnp, jittable body, static shapes).
 
@@ -187,17 +207,18 @@ def build_edge_tiles_device(
     # ceil(E/T)+NB wastes up to NB surplus tiles — at reddit scale with
     # R=8 that is ~29K all-padding tiles the tail scan then gathers
     # (0.75 M dead slots ≈ 10% of the tail arm's time)
-    @jax.jit
-    def exact_nt(indptr):
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def exact_nt(indptr, elide):
         ip = indptr.astype(jnp.int32)
         full = jnp.full((nb * row_block + 1 - ip.shape[0],), ip[-1], jnp.int32)
         ipp = jnp.concatenate([ip, full])
         bstart = ipp[0 :: row_block][:nb]
         bend = jnp.concatenate([ipp[row_block :: row_block], ipp[-1:]])[:nb]
         counts = bend - bstart
-        return jnp.sum(jnp.maximum(-(-counts // edge_tile), 1))
+        per = -(-counts // edge_tile)
+        return jnp.sum(per if elide else jnp.maximum(per, 1))
 
-    nt = int(np.asarray(exact_nt(g.indptr)))
+    nt = max(int(np.asarray(exact_nt(g.indptr, elide_empty))), 1)
 
     @jax.jit
     def build(indptr, cols, vals):
@@ -208,7 +229,9 @@ def build_edge_tiles_device(
         bstart = ipp[0 :: row_block][:nb]
         bend = jnp.concatenate([ipp[row_block :: row_block], ipp[-1:]])[:nb]
         counts = bend - bstart
-        ntiles = jnp.maximum(-(-counts // edge_tile), 1)
+        ntiles = -(-counts // edge_tile)
+        if not elide_empty:
+            ntiles = jnp.maximum(ntiles, 1)
         toffset = jnp.concatenate(
             [jnp.zeros((1,), jnp.int32), jnp.cumsum(ntiles).astype(jnp.int32)]
         )

@@ -203,3 +203,36 @@ def test_hybrid_tail_shapes(rb, t):
     h = build_hybrid(pg, s_cols=512, norm="right", row_block=rb, edge_tile=t)
     y = np.asarray(spmm_hybrid(h, x))
     assert np.abs(y - ref).max() < 2e-2  # bf16 strip rounding
+
+
+@pytest.mark.parametrize("band", [64, 96])
+def test_hybrid_banded_tail_matches(band):
+    """Column-banded tail (rebased cols, elided empty blocks, per-band
+    windows) is numerically identical to the single-band tail, on both
+    the host and device builders, fwd + transpose + grad."""
+    csr = _graph(v=500, e=4000, seed=21)
+    pcsr = permute_csr(csr, degree_perm(csr))
+    h0 = build_hybrid(pcsr, s_cols=S, norm="right", strip_dtype=jnp.float32)
+    hb = build_hybrid(
+        pcsr, s_cols=S, norm="right", strip_dtype=jnp.float32,
+        tail_band_cols=band,
+    )
+    assert hb.tail_band_meta, "banding should engage (v - s > band)"
+    hd = build_hybrid_device(
+        pcsr, s_cols=S, norm="right", strip_dtype=jnp.float32,
+        tail_band_cols=band,
+    )
+    assert hd.tail_band_meta
+    x = _x(csr.num_nodes, seed=9)
+    ref = np.asarray(spmm_hybrid(h0, x))
+    np.testing.assert_allclose(np.asarray(spmm_hybrid(hb, x)), ref, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(spmm_hybrid(hd, x)), ref, atol=1e-4)
+    # transpose (A^T = swapped scales) and gradient through the bands
+    rt = np.asarray(spmm_hybrid(h0, x, transpose=True))
+    np.testing.assert_allclose(
+        np.asarray(spmm_hybrid(hb, x, transpose=True)), rt, atol=1e-4
+    )
+    ct = _x(csr.num_nodes, seed=10)
+    g0 = jax.grad(lambda x_: jnp.vdot(spmm_hybrid(h0, x_), ct))(x)
+    gb = jax.grad(lambda x_: jnp.vdot(spmm_hybrid(hb, x_), ct))(x)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(g0), atol=1e-4)
