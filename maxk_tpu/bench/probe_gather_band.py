@@ -64,22 +64,33 @@ def main():
     vals = jnp.ones((nt, t), jnp.float32)
 
     for band in (v, 65536, 32768, 16384, 8192):
+        band = min(band, v)
         cols = jax.jit(
             lambda b=band: jax.random.randint(
-                jax.random.PRNGKey(2), (nt, t), 0, min(b, v), jnp.int32
+                jax.random.PRNGKey(2), (nt, t), 0, b, jnp.int32
             )
         )()
         tiles = EdgeTiles(
             block=block, cols=cols, vals=vals, localrow=lrow,
             row_block=r, num_row_blocks=nb, num_nodes=nb * r,
         )
+        # (a) narrow index RANGE into the full table — locality only
         f = jax.jit(
             lambda tt, xx: spmm_tiles_scan(tt, xx, chunk=args.chunk)
         )
         tm = timeit(f, tiles, x)
+        # (b) gather from an actual (band, D) SLICE — what the banded
+        # tail does (slice materialized inside the jit, like spmm_hybrid)
+        fs = jax.jit(
+            lambda tt, xx, b=band: spmm_tiles_scan(
+                tt, jax.lax.slice_in_dim(xx, 0, b), chunk=args.chunk
+            )
+        )
+        ts = timeit(fs, tiles, x)
         slots = nt * t
-        log(f"band {min(band, v):>7}: {tm*1e3:8.2f} ms "
-            f"({tm/slots*1e9:.2f} ns/slot)")
+        log(f"band {band:>7}: range-only {tm*1e3:8.2f} ms "
+            f"({tm/slots*1e9:.2f} ns/slot) | sliced-table {ts*1e3:8.2f} ms "
+            f"({ts/slots*1e9:.2f} ns/slot)")
 
 
 if __name__ == "__main__":
