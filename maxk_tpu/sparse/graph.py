@@ -54,6 +54,7 @@ def build_graph(
     edge_tile: int = EDGE_TILE,
     hybrid: bool = False,
     strip_cols: Optional[int] = None,  # None → auto (HBM-budget-capped)
+    tail_band_cols: int = 0,
 ) -> Graph:
     """Build the operator bundle. `norm` folds degree normalization into edge
     values (see `maxk_tpu.sparse.csr.with_norm`).
@@ -86,9 +87,13 @@ def build_graph(
                 )
             perm = degree_perm(csr)
             csr = permute_csr(csr, perm)
+            # NOTE: the hybrid TAIL keeps its own tuned tile shape
+            # (sparse/hybrid.TAIL_EDGE_TILE) — `edge_tile` here sizes the
+            # dense-path tile schedule (T=256), which measured ~2× slower
+            # for the low-degree tail remainder (docs/PERF.md)
             hyb = build_hybrid(
                 csr, s_cols=strip_cols, norm=norm,
-                row_block=row_block, edge_tile=edge_tile,
+                tail_band_cols=tail_band_cols,
             )
     g = with_norm(csr, norm)
     gt = csr_transpose(g)
