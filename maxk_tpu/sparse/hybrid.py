@@ -237,6 +237,7 @@ def build_hybrid(
     tail_bands: tuple = ()
     band_meta: tuple = ()
     if tail_band_cols > 0 and v - s > tail_band_cols:
+        tail_band_cols = _effective_band(v - s, tail_band_cols)
         bands = []
         meta = []
         for c0 in range(s, v, tail_band_cols):
@@ -272,6 +273,16 @@ def build_hybrid(
         tail_bands=tail_bands,
         tail_band_meta=band_meta,
     )
+
+
+def _effective_band(span: int, band: int, max_bands: int = 12) -> int:
+    """Widen the requested band so the tail splits into ≤ max_bands
+    pieces: every band is a separately-compiled scan (distinct static
+    tile count), and remote compiles cost minutes each on this stack."""
+    if span > band * max_bands:
+        band = -(-span // max_bands)
+        band = -(-band // 128) * 128
+    return band
 
 
 def _subgraph_host(v, rows, cols, vals) -> CSRGraph:
@@ -439,6 +450,7 @@ def build_hybrid_device(
     tail_bands: tuple = ()
     band_meta: tuple = ()
     if tail_band_cols > 0 and v - s > tail_band_cols:
+        tail_band_cols = _effective_band(v - s, tail_band_cols)
         # per-band extraction from the (already row/col-sorted) trimmed
         # tail stream: filtering a col range preserves CSR order, so one
         # 2-key sort per band over ~7% of E suffices
