@@ -14,14 +14,16 @@ matmuls and only a small tail ever touches the gather path:
      adjacency factors as A = D_post · S · D_pre with S VALUE-SYMMETRIC
      (raw weights + self loops); the op computes
      Y = post ⊙ (S @ (pre ⊙ x)) and A^T just swaps the scales.
-  3. S splits into three statically-shaped parts:
+  3. S splits into two statically-shaped parts:
        strip  W = S[:, :S_cols]   materialized DENSE (bf16, (Vp, S));
                                   symmetric ⇒ S[:S_cols, :] = W^T, so one
-                                  array serves hub-columns (W @ x_hub),
-                                  hub-rows (W^T @ x) and the corner
-                                  double-count correction (−W[:S] @ x_hub)
+                                  array serves the hub rows (y[:S] =
+                                  W^T @ x, all columns by symmetry) AND
+                                  the non-hub rows' hub columns
+                                  (y[S:] = W[S:] @ x_hub) — disjoint row
+                                  ranges, no corner double-count
        tail   rows≥S ∧ cols≥S     edge tiles for the gather path (~7% E)
-  4. aggregation = 3 dense matmuls + one small tile-scan; everything is
+  4. aggregation = 2 dense matmuls + one small tile-scan; everything is
      plain differentiable XLA (the VJP of a symmetric operator is itself,
      so no custom_vjp and no CSC/warp4_csc twin is ever needed — the bug
      class of `generate_meta_csc.py` / `spgemmfunction_v3.py` vanishes).
