@@ -236,3 +236,25 @@ def test_hybrid_banded_tail_matches(band):
     g0 = jax.grad(lambda x_: jnp.vdot(spmm_hybrid(h0, x_), ct))(x)
     gb = jax.grad(lambda x_: jnp.vdot(spmm_hybrid(hb, x_), ct))(x)
     np.testing.assert_allclose(np.asarray(gb), np.asarray(g0), atol=1e-4)
+
+
+def test_effective_band_cap():
+    from maxk_tpu.sparse.hybrid import _effective_band
+
+    # under the cap: width unchanged
+    assert _effective_band(100_000, 32_768) == 32_768
+    # over the cap: widened to ≤12 bands, 128-aligned
+    w = _effective_band(2_400_000, 32_768)
+    assert w % 128 == 0 and -(-2_400_000 // w) <= 12
+
+
+def test_build_graph_hybrid_keeps_tail_tile_shape():
+    """build_graph's dense-path edge_tile (256) must NOT leak into the
+    hybrid tail schedule (tuned to TAIL_EDGE_TILE)."""
+    from maxk_tpu.sparse.hybrid import TAIL_EDGE_TILE
+
+    csr = _graph(seed=31)
+    g = build_graph(csr, norm="right", hybrid=True, strip_cols=S,
+                    edge_tile=256)
+    assert g.hybrid is not None
+    assert g.hybrid.tail_tiles.edge_tile == TAIL_EDGE_TILE
