@@ -33,6 +33,40 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+# v5e per-chip machine model (measured values from docs/PERF.md plus the
+# public v5e ICI figure) — turns the virtual-mesh RELATIVE numbers into
+# an interpretable hardware prediction per (arm, n)
+V5E_GATHER_SEC_PER_EDGE = 9e-9  # measured XLA gather wall
+V5E_MXU_FLOPS = 1.5e14          # measured sustained bf16
+V5E_ICI_BYTES_S = 4.5e10        # ~45 GB/s per link direction
+
+
+def analytic_v5e_ms(arm, n, v, e, d, k, nl, s_cols=0, tail_e=0):
+    """Per-step time a v5e mesh model predicts for one arm at n chips.
+
+    Counts, per layer: the local aggregation (gather wall or strip
+    matmuls + tail gather) and the cross-chip collective (compressed
+    (V,k) all_gather for maxk, dense (V,D) for relu, plus the hybrid's
+    (S,D) hub psum). fwd+bwd ≈ 2× the forward aggregation (the backward
+    is one more A^T SpMM of the same shape; see ops/spgemm). Collective
+    bytes are per-device RECEIVE volume ((n-1)/n of the full array).
+    """
+    if arm == "maxk_hybrid":
+        # two strip matmuls per direction + tail gather on local rows
+        strip_flops = 2 * (v / n) * s_cols * d * 2
+        agg = strip_flops / V5E_MXU_FLOPS + (
+            tail_e / n
+        ) * V5E_GATHER_SEC_PER_EDGE
+        coll_bytes = 2 * s_cols * d * 4 * (n - 1) / n  # (S,D) psum
+        coll_bytes += v * (2 + 4) * k * (n - 1) / n  # CBSR gather
+    else:
+        agg = (e / n) * V5E_GATHER_SEC_PER_EDGE
+        row_bytes = (2 + 4) * k if arm == "maxk" else 2 * d
+        coll_bytes = v * row_bytes * (n - 1) / n
+    coll = coll_bytes / V5E_ICI_BYTES_S
+    return nl * (2 * agg + coll) * 1e3
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--dataset", default="flickr")
@@ -42,7 +76,13 @@ def main(argv=None):
     p.add_argument("--hidden_dim", type=int, default=256)
     p.add_argument("--hidden_layers", type=int, default=3)
     p.add_argument("--devices", nargs="+", type=int, default=[1, 2, 4, 8])
-    p.add_argument("--iters", type=int, default=10)
+    # steady-state protocol: ≥50 timed iters after warmup, best of
+    # `repeats` timing windows — the r2 artifact (10 iters, 1 window)
+    # was noise-dominated on the shared-core virtual mesh (n=4 read
+    # slower than n=2)
+    p.add_argument("--iters", type=int, default=50)
+    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--warmup", type=int, default=5)
     p.add_argument("--kernel_mode", default="tiles_scan")
     args = p.parse_args(argv)
 
@@ -105,18 +145,25 @@ def main(argv=None):
             step = make_sharded_train_step(model, tx, data.multilabel, mesh)
             rng = jax.random.PRNGKey(0)
             sa = (arrays["feats"], arrays["labels"], arrays["train"])
-            # warmup (compile + first run)
-            variables, opt_state, loss, _ = step(
-                variables, opt_state, rng, sgraph, *sa
-            )
-            jax.block_until_ready(loss)
-            t0 = time.perf_counter()
-            for _ in range(args.iters):
+            # warmup (compile + reach steady state)
+            for _ in range(args.warmup):
                 variables, opt_state, loss, _ = step(
                     variables, opt_state, rng, sgraph, *sa
                 )
             jax.block_until_ready(loss)
-            ms = (time.perf_counter() - t0) / args.iters * 1e3
+            # best of `repeats` windows of `iters` steps: the min is the
+            # noise-robust statistic on a shared-core virtual mesh
+            ms = float("inf")
+            for _ in range(args.repeats):
+                t0 = time.perf_counter()
+                for _ in range(args.iters):
+                    variables, opt_state, loss, _ = step(
+                        variables, opt_state, rng, sgraph, *sa
+                    )
+                jax.block_until_ready(loss)
+                ms = min(
+                    ms, (time.perf_counter() - t0) / args.iters * 1e3
+                )
             assert np.isfinite(float(loss)), float(loss)
             # analytic per-layer forward collective volume (bytes moved
             # per device): compressed CBSR vs dense row gather, plus the
@@ -137,10 +184,27 @@ def main(argv=None):
                 "arm": arm, "n": n, "step_ms": round(ms, 2),
                 "fwd_allgather_bytes_per_layer": fwd_bytes,
             }
+            s_cols = sgraph.hybrid.s_cols if sgraph.hybrid is not None else 0
             if sgraph.hybrid is not None:
-                rec["fwd_hub_psum_bytes_per_layer"] = (
-                    sgraph.hybrid.s_cols * d * 4
-                )
+                rec["fwd_hub_psum_bytes_per_layer"] = s_cols * d * 4
+            # exact tail size for the roofline: edges outside the hub
+            # strip after degree sort (rows≥S ∧ cols≥S)
+            tail_e = 0
+            if arm == "maxk_hybrid" and s_cols:
+                indptr = np.asarray(data.csr.indptr, dtype=np.int64)
+                deg = np.diff(indptr)
+                rank = np.empty(v, dtype=np.int64)
+                rank[np.argsort(-deg, kind="stable")] = np.arange(v)
+                rows = rank[np.repeat(np.arange(v), deg)]
+                cols = rank[np.asarray(data.csr.indices)[: indptr[-1]]]
+                tail_e = int(((rows >= s_cols) & (cols >= s_cols)).sum())
+                rec["tail_edges"] = tail_e
+            rec["analytic_v5e_step_ms"] = round(
+                analytic_v5e_ms(
+                    arm, n, v, e, d, k, nl, s_cols=s_cols, tail_e=tail_e
+                ),
+                3,
+            )
             if halo_alt is not None:
                 rec["halo_alt_recv_bytes_per_device"] = halo_alt
             results.append(rec)
@@ -162,6 +226,11 @@ def main(argv=None):
                 base["step_ms"] / (r["step_ms"] * r["n"]), 3
             )
             r["efficiency_shared"] = round(base["step_ms"] / r["step_ms"], 3)
+            r["efficiency_chips_analytic_v5e"] = round(
+                base["analytic_v5e_step_ms"]
+                / (r["analytic_v5e_step_ms"] * r["n"]),
+                3,
+            )
     print(json.dumps({
         "protocol": {
             "dataset": args.dataset, "scale": args.scale, "V": v, "E": e,

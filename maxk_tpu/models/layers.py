@@ -110,13 +110,19 @@ class MaxKGraphConv(nn.Module, _AggMixin):
 
 class MaxKGINConv(nn.Module, _AggMixin):
     """GIN conv: `apply_func((1+eps)·x + sum_agg(x))`
-    (`all_model.py:410-411`). Expects a graph with norm="none" (raw sum)."""
+    (`all_model.py:410-411`). Expects a graph with norm="none" (raw sum).
+
+    `apply_func` is the 2-layer MLP (Dense → ReLU → Dense) of the
+    reference's fixed GIN (`GIN:17-21` — the bare-Dense variant was the
+    bug its "CRITICAL FIX" comment repairs); `mlp_hidden` sizes the
+    hidden layer (reference uses hid_size for both)."""
 
     out_dim: int
     kernel_mode: str = "auto"
     compute_dtype: Optional[jnp.dtype] = None
     learn_eps: bool = True
     init_eps: float = 0.0
+    mlp_hidden: Optional[int] = None  # None → out_dim
 
     @nn.compact
     def __call__(self, graph: Graph, x, cbsr: Optional[CBSR] = None):
@@ -128,4 +134,7 @@ class MaxKGINConv(nn.Module, _AggMixin):
             eps = self.init_eps
         agg = self._aggregate(graph, x, cbsr)
         h = (1.0 + eps) * x + agg
-        return nn.Dense(self.out_dim, name="apply_func")(h)
+        hid = self.mlp_hidden or self.out_dim
+        h = nn.Dense(hid, name="apply_func_0")(h)
+        h = nn.relu(h)
+        return nn.Dense(self.out_dim, name="apply_func_1")(h)

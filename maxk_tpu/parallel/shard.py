@@ -202,6 +202,7 @@ def build_sharded_hybrid(
     row_block: int = 8,
     edge_tile: int = 64,
     tail_chunk: int = 256,
+    dim: int = 256,
 ) -> ShardedHybrid:
     """Host build of the row-partitioned strip hybrid.
 
@@ -225,7 +226,7 @@ def build_sharded_hybrid(
         from maxk_tpu.sparse.hybrid import STRIP_COLS
 
         s = auto_strip_cols(
-            -(-v // max(num_shards, 1)), s_cols=min(STRIP_COLS, v)
+            -(-v // max(num_shards, 1)), s_cols=min(STRIP_COLS, v), dim=dim
         )
     else:
         s = s_cols
@@ -293,6 +294,7 @@ def build_sharded_graph(
     strip_cols: Optional[int] = None,
     tail_edge_tile: int = 64,
     strip_dtype=jnp.bfloat16,
+    dim: int = 256,
 ) -> ShardedGraph:
     """Host-side partition of a (normalized) CSR over `num_shards` devices.
 
@@ -319,6 +321,7 @@ def build_sharded_graph(
             strip_dtype=strip_dtype,
             row_block=row_block,
             edge_tile=tail_edge_tile,
+            dim=dim,
         )
     g = with_norm(csr, norm)
     v = g.num_nodes

@@ -148,11 +148,22 @@ def sharded_setup(
         from maxk_tpu.sparse.hybrid import hybrid_profitable
 
         e_live = int(np.asarray(data.csr.indptr[-1]))
-        want_hybrid = hybrid_profitable(data.csr.num_nodes, e_live)
+        want_hybrid = hybrid_profitable(
+            data.csr.num_nodes, e_live, dim=cfg.hidden_dim
+        )
     csr = data.csr
     if want_hybrid:
         from maxk_tpu.sparse.hybrid import check_hybrid_ok, degree_perm, permute_csr
 
+        if not check_hybrid_ok(csr) and cfg.kernel_mode == "hybrid":
+            # same contract as the single-device path (_spmm_impl raises
+            # for an explicit hybrid request without a strip schedule):
+            # never silently downgrade an explicit kernel_mode
+            raise ValueError(
+                "kernel_mode='hybrid' requires a value-symmetric "
+                "(undirected) graph; use kernel_mode='auto' for "
+                "automatic fallback"
+            )
         if check_hybrid_ok(csr):
             from dataclasses import replace
 
@@ -177,6 +188,7 @@ def sharded_setup(
         row_block=cfg.row_block,
         edge_tile=cfg.edge_tile,
         hybrid=want_hybrid,
+        dim=cfg.hidden_dim,
     )
 
     row = NamedSharding(mesh, P(GRAPH_AXIS))

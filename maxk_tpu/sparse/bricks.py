@@ -41,7 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from maxk_tpu.sparse.csr import CSRGraph
+from maxk_tpu.sparse.csr import CSRGraph, rows_from_indptr
 
 # Defaults. WB/WIN are the brick (MXU) dims; SG/PANEL the VMEM residency
 # dims; T the edge-slot subtile; CH subtiles per grid step.
@@ -238,14 +238,10 @@ def build_bricks_device(
 
     @jax.jit
     def phase1(indptr, cols):
-        rows = (
-            jnp.searchsorted(
-                indptr.astype(jnp.int32),
-                jnp.arange(nnz, dtype=jnp.int32),
-                side="right",
-            ).astype(jnp.int32)
-            - 1
-        )
+        # scan form, not searchsorted-over-nnz-needles: the latter
+        # crashes the TPU worker at ogbn-products scale (see
+        # csr.rows_from_indptr)
+        rows = rows_from_indptr(indptr, nnz, v)
         c = cols[:nnz].astype(jnp.int32)
         s = rows // sg
         rb = (rows % sg) // wb

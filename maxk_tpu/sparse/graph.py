@@ -55,6 +55,7 @@ def build_graph(
     hybrid: bool = False,
     strip_cols: Optional[int] = None,  # None → auto (HBM-budget-capped)
     tail_band_cols: int = 0,
+    dim: int = 256,  # model feature width — sizes the strip HBM budget
 ) -> Graph:
     """Build the operator bundle. `norm` folds degree normalization into edge
     values (see `maxk_tpu.sparse.csr.with_norm`).
@@ -83,7 +84,9 @@ def build_graph(
 
             if strip_cols is None:
                 strip_cols = auto_strip_cols(
-                    csr.num_nodes, e_live=int(np.asarray(csr.indptr[-1]))
+                    csr.num_nodes,
+                    e_live=int(np.asarray(csr.indptr[-1])),
+                    dim=dim,
                 )
             perm = degree_perm(csr)
             csr = permute_csr(csr, perm)

@@ -72,6 +72,23 @@ def latest_checkpoint(directory: str) -> Optional[str]:
 
 
 def restore_checkpoint(path: str, template: Dict[str, Any]) -> Dict[str, Any]:
-    """Restore a payload with the same pytree structure as `template`."""
+    """Restore a payload with the same pytree structure as `template`.
+
+    Accepts the legacy layout whose top-level key was 'params' (holding
+    only the param collection) instead of 'variables' — checkpoints
+    written before the rename restore instead of failing with an opaque
+    orbax structure mismatch.
+    """
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(os.path.abspath(path), template)
+    path = os.path.abspath(path)
+    try:
+        return ckptr.restore(path, template)
+    except (ValueError, KeyError):
+        if "variables" not in template:
+            raise
+        legacy = dict(template)
+        legacy["params"] = legacy.pop("variables")["params"]
+        restored = ckptr.restore(path, legacy)
+        out = dict(restored)
+        out["variables"] = {"params": out.pop("params")}
+        return out

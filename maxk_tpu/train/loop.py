@@ -85,7 +85,9 @@ def setup(cfg: TrainConfig, data: GraphData) -> TrainState:
         from maxk_tpu.sparse.hybrid import hybrid_profitable
 
         e_live = int(np.asarray(data.csr.indptr[-1]))
-        want_hybrid = hybrid_profitable(data.csr.num_nodes, e_live)
+        want_hybrid = hybrid_profitable(
+            data.csr.num_nodes, e_live, dim=cfg.hidden_dim
+        )
     build_tiles = cfg.kernel_mode in ("auto", "pallas", "tiles_xla", "tiles_scan")
     graph = build_graph(
         data.csr,
@@ -94,6 +96,7 @@ def setup(cfg: TrainConfig, data: GraphData) -> TrainState:
         row_block=cfg.row_block,
         edge_tile=cfg.edge_tile,
         hybrid=want_hybrid,
+        dim=cfg.hidden_dim,
     )
     data = permuted_data(data, graph)
     rng = jax.random.PRNGKey(cfg.seed)
@@ -301,7 +304,10 @@ def train(
         improved = va > state.best_val
         if improved:
             state.best_val, state.best_test = va, te
-            if checkpoint_dir and cfg.checkpoint_every > 0:
+            # best/ is written whenever a checkpoint_dir exists —
+            # checkpoint_every=0 means "only final/best" (config.py), so
+            # it must not gate the best snapshot, only the periodic ones
+            if checkpoint_dir:
                 from maxk_tpu.train.checkpoint import save_best
 
                 save_best(checkpoint_dir, _ckpt_payload(state, epoch))

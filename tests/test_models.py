@@ -97,3 +97,16 @@ def test_layer_agg_path_equals_explicit_spgemm(small_graph):
     y1 = spmm(graph, dense, mode="segsum")
     y2 = maxk_spgemm(graph, cbsr, dim=64, mode="segsum")
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-5, atol=1e-5)
+
+
+def test_gin_apply_func_is_mlp(small_graph):
+    """The GIN conv's apply_func is the reference's 2-layer MLP
+    (Dense → ReLU → Dense, `/root/reference/GIN:17-21`), not a single
+    Dense — the reference marks the bare variant as the bug its fixed
+    GIN repairs."""
+    model, graph, x, variables = _setup(small_graph, "gin")
+    flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+    names = {"/".join(str(k) for k in path) for path, _ in flat}
+    mlp0 = [n for n in names if "apply_func_0" in n and "kernel" in n]
+    mlp1 = [n for n in names if "apply_func_1" in n and "kernel" in n]
+    assert mlp0 and mlp1, sorted(names)
