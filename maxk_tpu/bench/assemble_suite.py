@@ -30,6 +30,9 @@ def main(argv=None):
     for path in sorted(glob.glob(os.path.join(args.dir, "*.json"))):
         with open(path) as f:
             records.extend(json.load(f))
+    # auxiliary per-graph records (dispatch_check) summarize separately
+    checks = [r for r in records if r.get("kind") == "dispatch_check"]
+    records = [r for r in records if "k" in r]
 
     # geomean speedup per k, split on the reference's avg-degree-50 claim
     # boundary; f32 and bf16 baseline arms
@@ -64,6 +67,10 @@ def main(argv=None):
             "timing": "4 warmup + 4 timed (kernels/spmm_base.h:34-63 analog)",
             "baseline": "library tiles_scan/segsum arm (cuSPARSE role)",
             "validated": all(r.get("valid", False) for r in records),
+            "dispatch_checks": len(checks),
+            "dispatch_picked_faster_everywhere": all(
+                c["picked_faster"] for c in checks
+            ) if checks else None,
             "note": args.note,
         },
         "summary": summary,

@@ -158,12 +158,26 @@ def main(argv=None):
     p.add_argument("--scale", type=float, default=0.02)
     p.add_argument("--mode", default="auto")
     p.add_argument("--validate", action="store_true")
+    p.add_argument(
+        "--dispatch_check", action="store_true",
+        help="also time the NON-picked arm (hybrid vs tiles_scan) once "
+        "per graph, recording whether the dispatch rule picked the "
+        "faster one (the degree-axis sweep uses this)",
+    )
     p.add_argument("--json_out", default="")
+    p.add_argument(
+        "--platform", default="",
+        help="force a jax platform (e.g. 'cpu'); empty = environment "
+        "default. Applied before any device op, so it works even though "
+        "this environment pins JAX_PLATFORMS at interpreter start.",
+    )
     args = p.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     jax.config.update("jax_compilation_cache_dir", "/root/.maxk_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
@@ -409,6 +423,71 @@ def main(argv=None):
                 rec["validation"] = detail
                 log(f"  validate k={k}: ok={ok} {detail}")
                 dump()
+        if args.dispatch_check and mode in ("hybrid", "tiles_scan"):
+            # time the arm the dispatch rule did NOT pick, once per
+            # graph (the production forward is k-independent), so the
+            # sweep artifact can show `hybrid_profitable` chose the
+            # faster schedule at every point of the degree axis
+            from maxk_tpu.ops.topk_pallas import maxk_mask_fast
+
+            alt = "tiles_scan" if mode == "hybrid" else "hybrid"
+            alt_graph = None
+            if alt == "tiles_scan":
+                alt_graph = Graph(
+                    csr=g, csc=g,
+                    tiles=tiles if tiles is not None
+                    else build_edge_tiles_device(g),
+                    tiles_t=None,
+                )
+            elif g_raw is not None:
+                from maxk_tpu.sparse.hybrid import (
+                    auto_strip_cols,
+                    build_hybrid_device,
+                    degree_perm_device,
+                    permute_csr_device,
+                )
+
+                s_alt = auto_strip_cols(v, e_live=e_real, dim=args.dim)
+                if s_alt >= 256:
+                    # (timing-only relabeling: the alt arm runs on the
+                    # degree-permuted twin; the operator cost is what's
+                    # compared, not the row order)
+                    gp = permute_csr_device(g_raw, degree_perm_device(g_raw))
+                    hyb = build_hybrid_device(gp, s_cols=s_alt, norm="right")
+                    alt_graph = Graph(csr=g, csc=g, hybrid=hyb)
+            if alt_graph is not None:
+                kf = min(args.k)
+                xm2 = jax.jit(
+                    lambda: maxk_mask_fast(
+                        jax.random.normal(
+                            jax.random.fold_in(key, 999), (v, args.dim)
+                        ),
+                        kf,
+                    ).astype(jnp.bfloat16)
+                )()
+                t_alt = timeit(
+                    jax.jit(lambda g_, x: spmm(g_, x, mode=alt)),
+                    alt_graph, xm2, iters=4,
+                )
+                t_pick = next(
+                    r["t_fwd_ms"] for r in results
+                    if r.get("graph") == name and r.get("k") == kf
+                )
+                results.append({
+                    "kind": "dispatch_check",
+                    "graph": name, "V": v, "E": e_real,
+                    "picked": mode, "alt": alt,
+                    "t_fwd_picked_ms": t_pick,
+                    "t_fwd_alt_ms": t_alt * 1e3,
+                    "picked_faster": bool(t_pick <= t_alt * 1e3),
+                })
+                log(f"  dispatch_check: picked={mode} {t_pick:.2f} ms vs "
+                    f"{alt} {t_alt*1e3:.2f} ms")
+                dump()
+                jax.tree.map(
+                    lambda a: a.delete() if hasattr(a, "delete") else None,
+                    (alt_graph.tiles, alt_graph.hybrid, xm2),
+                )
         n += 1
     if args.json_out:
         log(f"wrote {args.json_out} ({len(results)} records)")

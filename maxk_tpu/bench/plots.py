@@ -19,6 +19,7 @@ def plot_kernel_bench(records, out_dir):
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    records = [r for r in records if "k" in r]
     graphs = sorted({r["graph"] for r in records})
     ks = sorted({r["k"] for r in records})
     fig, axes = plt.subplots(1, 2, figsize=(11, 4))
