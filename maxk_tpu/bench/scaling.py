@@ -84,6 +84,11 @@ def main(argv=None):
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--warmup", type=int, default=5)
     p.add_argument("--kernel_mode", default="tiles_scan")
+    p.add_argument(
+        "--platform", default="",
+        help="force a jax platform (e.g. 'cpu' for the virtual mesh "
+        "without touching the axon tunnel)",
+    )
     args = p.parse_args(argv)
 
     import os
@@ -96,6 +101,8 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     jax.config.update("jax_compilation_cache_dir", "/root/.maxk_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

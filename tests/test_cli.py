@@ -213,3 +213,45 @@ def test_export_reload_train_roundtrip(tmp_path, monkeypatch):
     log = tmp_path / "run" / "flickr_seed97" / "sage_maxk" / "train.log"
     assert log.exists()
     assert "epoch 00001" in log.read_text()
+
+
+def test_scaling_analytic_model():
+    from maxk_tpu.bench.scaling import analytic_v5e_ms
+
+    v, e, d, k, nl = 100_000, 5_000_000, 256, 32, 3
+    # per-chip aggregation shrinks with n; collectives appear at n>1
+    t1 = analytic_v5e_ms("maxk", 1, v, e, d, k, nl)
+    t4 = analytic_v5e_ms("maxk", 4, v, e, d, k, nl)
+    assert t4 < t1
+    # compressed (V,k) gather moves fewer bytes than dense (V,D): the
+    # maxk arm's model time at n>1 is below the relu arm's
+    assert analytic_v5e_ms("maxk", 4, v, e, d, k, nl) < analytic_v5e_ms(
+        "relu", 4, v, e, d, k, nl
+    )
+    # hybrid: strip matmuls + tail gather, cheaper than the full gather
+    th = analytic_v5e_ms(
+        "maxk_hybrid", 1, v, e, d, k, nl, s_cols=8192, tail_e=e // 10
+    )
+    assert th < t1
+
+
+def test_kernel_bench_dispatch_check():
+    """--dispatch_check appends one per-graph record comparing the
+    picked arm against the alternative schedule."""
+    from maxk_tpu.bench.kernel_bench import main
+
+    results = main(
+        [
+            "--graphs", "rmat_v1500_d40",
+            "--k", "8",
+            "--scale", "1.0",
+            "--mode", "auto",
+            "--dispatch_check",
+        ]
+    )
+    checks = [r for r in results if r.get("kind") == "dispatch_check"]
+    assert len(checks) == 1
+    c = checks[0]
+    assert c["picked"] in ("hybrid", "tiles_scan")
+    assert c["alt"] != c["picked"]
+    assert c["t_fwd_alt_ms"] > 0 and isinstance(c["picked_faster"], bool)
