@@ -124,9 +124,9 @@ def main(argv=None):
     from maxk_tpu.sparse.hybrid import HybridSchedule
     from maxk_tpu.sparse.meta import EdgeTiles
 
-    s_cols = 16384
     vp = -(-v // 128) * 128
-    nt = int(e * 0.066 * 1.37 / 64)
+    s_cols = min(16384, vp)
+    nt = max(int(e * 0.066 * 1.37 / 64), 1)
     tiles = EdgeTiles(
         block=sds((nt,), jnp.int32),
         cols=sds((nt, 64), jnp.int32),

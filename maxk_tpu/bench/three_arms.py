@@ -36,6 +36,9 @@ def main(argv=None):
     p.add_argument("--dim", type=int, default=256)
     p.add_argument("--out", default="")
     p.add_argument("--platform", default="")
+    p.add_argument(
+        "--arms", nargs="+", default=["tiles_scan", "hybrid", "bricks"],
+    )
     args = p.parse_args(argv)
 
     import jax
@@ -94,7 +97,7 @@ def main(argv=None):
 
         # arm 2: hybrid (production)
         s_cols = auto_strip_cols(v, e_live=live, dim=args.dim)
-        if s_cols >= 256:
+        if "hybrid" in args.arms and s_cols >= 256:
             t0 = time.time()
             h = build_hybrid_device(g, s_cols=s_cols, norm="none")
             log(f"hybrid build {time.time()-t0:.0f}s (s={h.s_cols})")
@@ -111,6 +114,9 @@ def main(argv=None):
             )
 
         # arm 3: bricks (GNNAdvisor role)
+        if "bricks" not in args.arms:
+            results.append(rec)
+            continue
         try:
             from maxk_tpu.ops.spmm_bricks import spmm_bricks
             from maxk_tpu.sparse.bricks import build_bricks_device
