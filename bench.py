@@ -164,15 +164,17 @@ def main():
     if mode == "hybrid":
         from maxk_tpu.sparse.hybrid import (
             auto_strip_cols,
+            auto_tail_band_cols,
             build_hybrid_device,
             degree_perm_device,
             permute_csr_device,
         )
 
         g = permute_csr_device(g, degree_perm_device(g))
+        s_cols = auto_strip_cols(v, e_live=e_real, dim=args.dim)
         hybrid = build_hybrid_device(
-            g, s_cols=auto_strip_cols(v, e_live=e_real, dim=args.dim),
-            norm="right",
+            g, s_cols=s_cols, norm="right",
+            tail_band_cols=auto_tail_band_cols(v, s_cols),
         )
         log(f"hybrid strip {hybrid.strip.shape} {hybrid.strip.dtype}")
     g = with_norm(g, "right")

@@ -166,6 +166,11 @@ def main(argv=None):
     )
     p.add_argument("--json_out", default="")
     p.add_argument(
+        "--tail_band_cols", type=int, default=-1,
+        help="hybrid tail column-band width; 0 disables banding, -1 = "
+        "production default (sparse.hybrid.auto_tail_band_cols)",
+    )
+    p.add_argument(
         "--platform", default="",
         help="force a jax platform (e.g. 'cpu'); empty = environment "
         "default. Applied before any device op, so it works even though "
@@ -271,11 +276,16 @@ def main(argv=None):
                     (tiles, x_dense),
                 )
             tiles = None
+            from maxk_tpu.sparse.hybrid import auto_tail_band_cols
+
+            s_cols = auto_strip_cols(g.num_nodes, e_live=e_real,
+                                     dim=args.dim)
+            band = (
+                auto_tail_band_cols(g.num_nodes, s_cols)
+                if args.tail_band_cols < 0 else args.tail_band_cols
+            )
             hybrid = build_hybrid_device(
-                g_raw,
-                s_cols=auto_strip_cols(g.num_nodes, e_live=e_real,
-                                       dim=args.dim),
-                norm="right",
+                g_raw, s_cols=s_cols, norm="right", tail_band_cols=band,
             )
             graph = Graph(csr=g, csc=g, hybrid=hybrid)
             # pre-norm CSR no longer needed: free its values (indices are

@@ -93,6 +93,18 @@ def auto_strip_cols(
     return max(min(s_cols, v, fit), 0)
 
 
+def auto_tail_band_cols(v: int, s_cols: int) -> int:
+    """Production tail-banding rule. 0 = single band (no banding).
+
+    Placeholder pending the full-scale measurement (round-3 stage-1
+    probe): banding is only a candidate when the tail's column span is
+    several times the ~32K gather-locality window (docs/PERF.md: XLA row
+    gathers from ≤32K-row tables run ~1.6× faster). Flipped to a width
+    by measurement, not by theory.
+    """
+    return 0
+
+
 def hybrid_profitable(v: int, e_live: int, dim: int = 256) -> bool:
     """Planning rule: build the strip hybrid only where its 3 dense
     matmuls beat the gather wall the tail would otherwise pay.
