@@ -30,6 +30,13 @@ def test_kernel_bench_tiny(capsys):
     rec = results[0]
     assert rec["valid"], rec
     assert rec["t_fwd_ms"] > 0
+    # both arms of the record: production (masked-dense) + CBSR parity
+    assert rec["maxk_input"] == "masked_dense"
+    for f in ("t_mask_ms", "t_fwd_cbsr_ms", "t_fwd_bwd_cbsr_ms",
+              "t_fwd_bwd_ms"):
+        assert rec[f] > 0, f
+    # the compact-gradient byte advantage is recorded per k
+    assert rec["bwd_grad_bytes_cbsr"] < rec["bwd_grad_bytes_masked"]
     out = capsys.readouterr().out
     assert "maxk_fwd" in out and "cusparse_role" in out
 
