@@ -72,6 +72,7 @@ def auto_strip_cols(
     s_cols: int = STRIP_COLS,
     e_live: Optional[int] = None,
     dim: int = 256,
+    io_itemsize: int = 4,
 ) -> int:
     """Strip width for a V-node graph: the default, shrunk to fit HBM
     (bf16), lane-aligned.
@@ -80,14 +81,26 @@ def auto_strip_cols(
     ogbn-products scale (V=2.45M) the (V, dim) f32 output/accumulator/
     cotangent buffers plus the tail tables are ~12 GB, and a fixed-budget
     strip OOMs the 16 GB chip (measured: RESOURCE_EXHAUSTED in the r2
-    suite until the strip shrank to fit)."""
+    suite until the strip shrank to fit).
+
+    `io_itemsize` sizes the (V, dim) output/cotangent buffers: 4 for the
+    f32-valued op surface (default, conservative), 2 when the caller
+    keeps every (V, dim) tensor except the scan accumulator in bf16 —
+    that frees ~2.5 GB at products scale, which goes straight into strip
+    width (the products speedup is strip-coverage-limited)."""
     vp = -(-v // 128) * 128
     budget = STRIP_HBM_BUDGET
     if e_live is not None:
-        # 3 × (V, dim) f32 (output, scan accumulator, backward cotangent)
+        # 1 × (V, dim) f32 scan accumulator
+        # + 2 × (V, dim) io_itemsize (output, backward cotangent)
         # + 2 × (V, dim) bf16 (densified x, pre-scaled xs)
         # + ~17 B/edge (CSR arrays + padded tail tile tables)
-        working = 3 * v * dim * 4 + 2 * v * dim * 2 + 17 * e_live
+        working = (
+            v * dim * 4
+            + 2 * v * dim * io_itemsize
+            + 2 * v * dim * 2
+            + 17 * e_live
+        )
         budget = min(budget, HBM_BYTES - working - 1.5e9)
     fit = int(max(budget, 0.0) // (vp * 2)) // 128 * 128
     return max(min(s_cols, v, fit), 0)
