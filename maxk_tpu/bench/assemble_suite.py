@@ -34,6 +34,36 @@ def main(argv=None):
     checks = [r for r in records if r.get("kind") == "dispatch_check"]
     records = [r for r in records if "k" in r]
 
+    # consistency audit — recompute every derived field and check timing
+    # invariants. This is the automated answer to the r2 record defects
+    # (a 1000× unit bug in hand-patched records; "fwd+bwd" < fwd because
+    # the forward was dead-code-eliminated): any record that fails is
+    # flagged in the artifact itself, loudly.
+    inconsistencies = []
+    for r in records:
+        derived = r["E"] / (r["t_fwd_ms"] * 1e-3) / 1e9
+        if abs(derived - r["fwd_gnnz_s"]) > 1e-6 * max(derived, 1e-12):
+            inconsistencies.append(
+                {"graph": r["graph"], "k": r["k"],
+                 "field": "fwd_gnnz_s",
+                 "recorded": r["fwd_gnnz_s"], "recomputed": derived}
+            )
+        sp = r["t_baseline_ms"] / r["t_fwd_ms"]
+        if abs(sp - r["speedup_vs_baseline"]) > 1e-6 * sp:
+            inconsistencies.append(
+                {"graph": r["graph"], "k": r["k"],
+                 "field": "speedup_vs_baseline",
+                 "recorded": r["speedup_vs_baseline"], "recomputed": sp}
+            )
+        for fb, fw in (("t_fwd_bwd_ms", "t_fwd_ms"),
+                       ("t_fwd_bwd_cbsr_ms", "t_fwd_cbsr_ms")):
+            if fb in r and fw in r and r[fb] < r[fw]:
+                inconsistencies.append(
+                    {"graph": r["graph"], "k": r["k"], "field": fb,
+                     "issue": f"{fb} < {fw} (forward cannot be free)",
+                     "fwd_bwd_ms": r[fb], "fwd_ms": r[fw]}
+                )
+
     # geomean speedup per k, split on the reference's avg-degree-50 claim
     # boundary; f32 and bf16 baseline arms
     summary = {}
@@ -73,13 +103,20 @@ def main(argv=None):
             ) if checks else None,
             "note": args.note,
         },
+        "consistency": {
+            "ok": not inconsistencies,
+            "checks": ["fwd_gnnz_s == E/t_fwd", "speedup == t_base/t_fwd",
+                       "t_fwd_bwd >= t_fwd (both arms)"],
+            "violations": inconsistencies,
+        },
         "summary": summary,
         "results": records,
     }
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {args.out}: {len(records)} records, "
-          f"validated={out['protocol']['validated']}")
+          f"validated={out['protocol']['validated']}, "
+          f"consistent={not inconsistencies}")
 
 
 if __name__ == "__main__":

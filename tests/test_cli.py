@@ -302,3 +302,28 @@ def test_memcheck_tiny(tmp_path):
     # masked (V,D) design
     assert ops["maxk_cbsr_k8"]["output_bytes"] < ops["maxk_cbsr_k32"]["output_bytes"]
     assert ops["maxk_cbsr_k8"]["output_bytes"] < ops["masked_dense"]["output_bytes"]
+
+
+def test_assemble_suite_consistency_audit(tmp_path):
+    """The assembler recomputes derived fields and flags the r2 defect
+    classes (unit bugs in patched records, fwd+bwd < fwd)."""
+    import json
+
+    from maxk_tpu.bench.assemble_suite import main
+
+    good = {
+        "graph": "g", "V": 100, "E": 1000, "k": 8,
+        "t_fwd_ms": 2.0, "t_fwd_bwd_ms": 3.0,
+        "t_baseline_ms": 4.0, "t_baseline_bf16_ms": 3.5,
+        "fwd_gnnz_s": 1000 / 2e-3 / 1e9, "speedup_vs_baseline": 2.0,
+        "valid": True,
+    }
+    bad = dict(good, k=16, fwd_gnnz_s=good["fwd_gnnz_s"] / 1000,  # 1000x bug
+               t_fwd_bwd_ms=1.0)  # DCE'd forward
+    (tmp_path / "g.json").write_text(json.dumps([good, bad]))
+    out = tmp_path / "suite.json"
+    main(["--dir", str(tmp_path), "--out", str(out)])
+    doc = json.loads(out.read_text())
+    assert not doc["consistency"]["ok"]
+    fields = {v["field"] for v in doc["consistency"]["violations"]}
+    assert fields == {"fwd_gnnz_s", "t_fwd_bwd_ms"}
