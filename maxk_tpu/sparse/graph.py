@@ -54,7 +54,7 @@ def build_graph(
     edge_tile: int = EDGE_TILE,
     hybrid: bool = False,
     strip_cols: Optional[int] = None,  # None → auto (HBM-budget-capped)
-    tail_band_cols: int = 0,
+    tail_band_cols: int = -1,  # -1 → auto rule; 0 → single band
     dim: int = 256,  # model feature width — sizes the strip HBM budget
 ) -> Graph:
     """Build the operator bundle. `norm` folds degree normalization into edge
@@ -87,6 +87,12 @@ def build_graph(
                     csr.num_nodes,
                     e_live=int(np.asarray(csr.indptr[-1])),
                     dim=dim,
+                )
+            if tail_band_cols < 0:
+                from maxk_tpu.sparse.hybrid import auto_tail_band_cols
+
+                tail_band_cols = auto_tail_band_cols(
+                    csr.num_nodes, strip_cols
                 )
             perm = degree_perm(csr)
             csr = permute_csr(csr, perm)
