@@ -89,6 +89,10 @@ def main(argv=None):
         help="force a jax platform (e.g. 'cpu' for the virtual mesh "
         "without touching the axon tunnel)",
     )
+    p.add_argument(
+        "--json_out", default="",
+        help="persist per-config records incrementally (timeout-safe)",
+    )
     args = p.parse_args(argv)
 
     import os
@@ -217,6 +221,11 @@ def main(argv=None):
             results.append(rec)
             log(f"  {arm} n={n}: {ms:.2f} ms/step "
                 f"loss={float(loss):.4f}")
+            if args.json_out:
+                # persist after EVERY config: a timeout kill must not
+                # lose completed measurements
+                with open(args.json_out, "w") as f:
+                    json.dump(results, f, indent=1)
 
     # strong-scaling vs n=1 of the same arm. Two readings:
     #   efficiency_chips  = base/(n·ms) — the real-hardware formula, valid
