@@ -46,6 +46,40 @@ def plot_kernel_bench(records, out_dir):
     return path
 
 
+def plot_degree_sweep(data, out_dir):
+    """Speedup vs average degree (the 24-graph-suite axis), colored by
+    the dispatched arm, with the reference's avg-deg-50 claim boundary."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    records = data["results"] if isinstance(data, dict) else data
+    records = [r for r in records if "k" in r]
+    fig, ax = plt.subplots(figsize=(7, 4.5))
+    for mode, marker in (("hybrid", "o"), ("tiles_scan", "s"),
+                         ("segsum", "^")):
+        rows = [r for r in records if r["mode"] == mode]
+        if not rows:
+            continue
+        ax.scatter(
+            [r["E"] / max(r["V"], 1) for r in rows],
+            [r["speedup_vs_baseline"] for r in rows],
+            marker=marker, label=f"dispatched: {mode}", alpha=0.8,
+        )
+    ax.axvline(50, color="k", lw=0.8, ls="--", label="avg deg = 50")
+    ax.axhline(1.0, color="k", lw=0.5)
+    ax.set_xscale("log")
+    ax.set_xlabel("average degree (E/V)")
+    ax.set_ylabel("speedup vs f32 library baseline")
+    ax.set_title("degree-axis sweep (24-graph-suite analog)")
+    ax.legend(fontsize=8)
+    fig.tight_layout()
+    path = os.path.join(out_dir, "degree_sweep.png")
+    fig.savefig(path, dpi=120)
+    return path
+
+
 def plot_ksweep(data, out_dir):
     """k vs accuracy and k vs epoch time, relu arm as reference line —
     the figure `plotgnn.py:26-39` hard-codes, rendered from KSWEEP json."""
@@ -178,6 +212,7 @@ def plot_training_curves(scalars_jsonl, out_dir, tag="val_acc"):
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--kernel", default="")
+    p.add_argument("--degree", default="")
     p.add_argument("--ksweep", default="")
     p.add_argument("--scaling", default="")
     p.add_argument("--study", default="")
@@ -191,6 +226,9 @@ def main(argv=None):
         # assembled suite artifacts wrap the record list in {results: ...}
         records = data["results"] if isinstance(data, dict) else data
         print(plot_kernel_bench(records, args.out))
+    if args.degree:
+        with open(args.degree) as f:
+            print(plot_degree_sweep(json.load(f), args.out))
     if args.ksweep:
         with open(args.ksweep) as f:
             print(plot_ksweep(json.load(f), args.out))

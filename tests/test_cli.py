@@ -327,3 +327,15 @@ def test_assemble_suite_consistency_audit(tmp_path):
     assert not doc["consistency"]["ok"]
     fields = {v["field"] for v in doc["consistency"]["violations"]}
     assert fields == {"fwd_gnnz_s", "t_fwd_bwd_ms"}
+
+
+def test_plot_degree_sweep(tmp_path):
+    from maxk_tpu.bench.plots import plot_degree_sweep
+
+    doc = {"results": [
+        {"graph": "rmat_a", "V": 100, "E": 10000, "k": 8, "mode": "hybrid",
+         "speedup_vs_baseline": 5.0},
+        {"graph": "rmat_b", "V": 100, "E": 500, "k": 8, "mode": "tiles_scan",
+         "speedup_vs_baseline": 1.1},
+    ]}
+    assert os.path.exists(plot_degree_sweep(doc, str(tmp_path)))
