@@ -166,6 +166,12 @@ def main(argv=None):
     )
     p.add_argument("--json_out", default="")
     p.add_argument(
+        "--io_itemsize", type=int, default=4,
+        help="(V,dim) output/cotangent itemsize assumed by the strip HBM "
+        "budget: 2 widens the strip on HBM-limited graphs (products) by "
+        "keeping every IO tensor bf16 — see auto_strip_cols",
+    )
+    p.add_argument(
         "--tail_band_cols", type=int, default=-1,
         help="hybrid tail column-band width; 0 disables banding, -1 = "
         "production default (sparse.hybrid.auto_tail_band_cols)",
@@ -279,7 +285,8 @@ def main(argv=None):
             from maxk_tpu.sparse.hybrid import auto_tail_band_cols
 
             s_cols = auto_strip_cols(g.num_nodes, e_live=e_real,
-                                     dim=args.dim)
+                                     dim=args.dim,
+                                     io_itemsize=args.io_itemsize)
             band = (
                 auto_tail_band_cols(g.num_nodes, s_cols)
                 if args.tail_band_cols < 0 else args.tail_band_cols
@@ -352,8 +359,14 @@ def main(argv=None):
 
             # --- CBSR arm (the sharded-collective input path; k-shaped
             # backward producing the compact (V, k) gradient) ---
+            # io_itemsize=2 runs the whole arm with bf16-valued CBSR
+            # (output dtype follows the values dtype) — the widened
+            # strip budget assumes no (V, dim) f32 IO buffer exists
+            val_dtype = jnp.bfloat16 if args.io_itemsize == 2 else jnp.float32
             vals = jax.jit(
-                lambda: jax.random.normal(jax.random.fold_in(key, k), (v, k))
+                lambda: jax.random.normal(
+                    jax.random.fold_in(key, k), (v, k)
+                ).astype(val_dtype)
             )()
             sel = jax.jit(
                 lambda: jax.random.randint(
@@ -369,7 +382,9 @@ def main(argv=None):
             t_fwd_cbsr = timeit(fwd, graph, cbsr, iters=4)
             print(f"{n} {name} {args.dim} {k} maxk_fwd_cbsr {t_fwd_cbsr*1e3:.4f}")
             ct = jax.jit(
-                lambda: jax.random.normal(jax.random.fold_in(key, 200 + k), (v, args.dim))
+                lambda: jax.random.normal(
+                    jax.random.fold_in(key, 200 + k), (v, args.dim)
+                ).astype(val_dtype)
             )()
             vg_fn = jax.jit(
                 jax.value_and_grad(
