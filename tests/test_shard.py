@@ -354,3 +354,36 @@ def test_halo_stats():
     assert st["allgather_recv_bytes_per_device"] > 0
     # dense-regime R-MAT: halo ≈ all rows -> no reduction
     assert st["reduction_vs_allgather"] < 1.5
+
+
+def test_sharded_explicit_hybrid_on_directed_graph_raises(tiny_data):
+    """An explicit kernel_mode='hybrid' on a value-asymmetric graph must
+    raise (matching the single-device contract) instead of silently
+    downgrading to the segsum fallback."""
+    from dataclasses import replace
+
+    import scipy.sparse as sp
+
+    from maxk_tpu.sparse.csr import CSRGraph, csr_to_scipy
+
+    m = csr_to_scipy(tiny_data.csr).tolil()
+    # break symmetry: zero one directed edge that has a reverse twin
+    r = int(np.asarray(tiny_data.csr.row_ids())[5])
+    c = int(np.asarray(tiny_data.csr.indices)[5])
+    if r != c:
+        m[r, c] = 0
+    m = m.tocsr()
+    m.eliminate_zeros()
+    directed = CSRGraph(
+        indptr=jnp.asarray(m.indptr.astype(np.int32)),
+        indices=jnp.asarray(m.indices.astype(np.int32)),
+        values=jnp.asarray(m.data.astype(np.float32)),
+    )
+    data = replace(tiny_data, csr=directed)
+    mesh = make_mesh(2)
+    cfg = TrainConfig(
+        dataset="tiny", model="sage", epochs=1, hidden_dim=16,
+        hidden_layers=2, maxk=4, kernel_mode="hybrid",
+    )
+    with pytest.raises(ValueError, match="value-symmetric"):
+        sharded_setup(cfg, data, mesh)
