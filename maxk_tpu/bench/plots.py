@@ -186,6 +186,39 @@ def plot_spgemm_study(data, out_dir):
     return path
 
 
+def plot_three_arms(data, out_dir):
+    """Forward time of the three independent schedules per graph
+    (hybrid / tiles_scan / bricks) — the GNNAdvisor-comparison figure,
+    rendered from THREE_ARMS json."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    records = data["results"] if isinstance(data, dict) else data
+    arms = ["hybrid", "tiles_scan", "bricks"]
+    graphs = [r["graph"] for r in records]
+    fig, ax = plt.subplots(figsize=(6.5, 4))
+    width = 0.8 / len(arms)
+    for i, arm in enumerate(arms):
+        xs, ms = [], []
+        for gi, r in enumerate(records):
+            if f"{arm}_ms" in r:
+                xs.append(gi + i * width)
+                ms.append(r[f"{arm}_ms"])
+        if xs:
+            ax.bar(xs, ms, width=width, label=arm)
+    ax.set_xticks(range(len(graphs)))
+    ax.set_xticklabels(graphs, rotation=20)
+    ax.set_ylabel("fwd ms (same bf16 input, each validated)")
+    ax.set_title("three independent SpMM schedules")
+    ax.legend()
+    fig.tight_layout()
+    path = os.path.join(out_dir, "three_arms.png")
+    fig.savefig(path, dpi=120)
+    return path
+
+
 def plot_training_curves(scalars_jsonl, out_dir, tag="val_acc"):
     import matplotlib
 
@@ -216,6 +249,7 @@ def main(argv=None):
     p.add_argument("--ksweep", default="")
     p.add_argument("--scaling", default="")
     p.add_argument("--study", default="")
+    p.add_argument("--three_arms", default="")
     p.add_argument("--scalars", default="")
     p.add_argument("--out", default="figs")
     args = p.parse_args(argv)
@@ -238,6 +272,9 @@ def main(argv=None):
     if args.study:
         with open(args.study) as f:
             print(plot_spgemm_study(json.load(f), args.out))
+    if args.three_arms:
+        with open(args.three_arms) as f:
+            print(plot_three_arms(json.load(f), args.out))
     if args.scalars:
         print(plot_training_curves(args.scalars, args.out))
 

@@ -339,3 +339,20 @@ def test_plot_degree_sweep(tmp_path):
          "speedup_vs_baseline": 1.1},
     ]}
     assert os.path.exists(plot_degree_sweep(doc, str(tmp_path)))
+
+
+def test_plot_three_arms(tmp_path):
+    from maxk_tpu.bench.plots import plot_three_arms
+
+    data = {
+        "results": [
+            {"graph": "reddit", "V": 1000, "E": 9999, "dim": 256,
+             "tiles_scan_ms": 10.0, "hybrid_ms": 2.0,
+             "hybrid_valid": True, "bricks_ms": 14.0,
+             "bricks_valid": True},
+            {"graph": "flickr", "V": 500, "E": 999, "dim": 256,
+             "tiles_scan_ms": 1.0,
+             "bricks_error": "SomeError: nope"},
+        ]
+    }
+    assert os.path.exists(plot_three_arms(data, str(tmp_path)))
