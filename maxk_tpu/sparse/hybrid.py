@@ -138,6 +138,73 @@ def hybrid_profitable(v: int, e_live: int, dim: int = 256) -> bool:
     return strip_time < 0.5 * gather_time
 
 
+def tail_slot_stats(
+    csr: CSRGraph,
+    s_cols: int,
+    band_cols: int = 0,
+    row_block: int = ROW_BLOCK,
+    edge_tile: int = TAIL_EDGE_TILE,
+    presorted: bool = False,
+) -> dict:
+    """Host planning: tail size and tile-slot padding for a candidate
+    (strip width, band width) — WITHOUT building anything on device.
+
+    The tail arm's cost is slot-bound (measured 12.8 ns/slot at full
+    reddit, docs/PERF.md), so the two schedule levers trade directly in
+    slots: widening the strip removes tail edges outright, while column
+    banding narrows the gather table (≤32K-row tables gather ~1.6×
+    faster) at the price of splitting each row block's edges across
+    bands (more partially-filled tiles). This computes the exact slot
+    counts the real builders would produce (same ceil(count/edge_tile)
+    rule, empty (block, band) cells elided), so the profitability rule
+    is auditable: banding pays iff slot_inflation < locality gain.
+
+    `presorted`: csr is already degree-permuted (builders' contract);
+    otherwise ranks are computed here.
+    """
+    indptr = np.asarray(csr.indptr, dtype=np.int64)
+    nnz = int(indptr[-1])
+    cols = np.asarray(csr.indices, dtype=np.int64)[:nnz]
+    v = indptr.shape[0] - 1
+    deg = np.diff(indptr)
+    rows = np.repeat(np.arange(v, dtype=np.int64), deg)
+    if presorted:
+        rr, cr = rows, cols
+    else:
+        rank = np.empty(v, dtype=np.int64)
+        rank[np.argsort(-deg, kind="stable")] = np.arange(v)
+        rr, cr = rank[rows], rank[cols]
+    t = (rr >= s_cols) & (cr >= s_cols)
+    rt, ct = rr[t], cr[t]
+    live = int(t.sum())
+    blk = rt // row_block
+    if band_cols > 0:
+        band = _effective_band(v - s_cols, band_cols)
+        key = blk * np.int64(1 << 20) + (ct - s_cols) // band
+        n_bands = -(-(v - s_cols) // band)
+    else:
+        key = blk
+        n_bands = 1
+    _, counts = np.unique(key, return_counts=True)
+    tiles = int(np.ceil(counts / edge_tile).sum())
+    if band_cols <= 0:
+        # the single-band builder emits one all-padding tile per EMPTY
+        # row block (build_edge_tiles elide_empty=False); only the
+        # banded path elides empty (block, band) cells
+        tiles += -(-v // row_block) - len(counts)
+    slots = tiles * edge_tile
+    return {
+        "s_cols": s_cols,
+        "band_cols": band_cols,
+        "n_bands": n_bands,
+        "tail_live": live,
+        "tiles": tiles,
+        "slots": slots,
+        "pad_ratio": slots / max(live, 1),
+        "strip_gb": (-(-v // 128) * 128) * s_cols * 2 / 1e9,
+    }
+
+
 @struct.dataclass
 class HybridSchedule:
     """Materialized symmetric-strip decomposition of one graph.

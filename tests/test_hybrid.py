@@ -258,3 +258,35 @@ def test_build_graph_hybrid_keeps_tail_tile_shape():
                     edge_tile=256)
     assert g.hybrid is not None
     assert g.hybrid.tail_tiles.edge_tile == TAIL_EDGE_TILE
+
+
+def test_tail_slot_stats_match_built_schedule():
+    """The host planning helper predicts exactly the slot counts the
+    real builders produce (same ceil/elision rules), banded and not."""
+    from maxk_tpu.sparse.hybrid import tail_slot_stats
+
+    csr = _graph(v=500, e=4000, seed=21)
+    pcsr = permute_csr(csr, degree_perm(csr))
+    h0 = build_hybrid(pcsr, s_cols=S, norm="right", strip_dtype=jnp.float32)
+    st0 = tail_slot_stats(pcsr, S, presorted=True)
+    assert st0["tiles"] == int(h0.tail_tiles.block.shape[0])
+    assert st0["slots"] == st0["tiles"] * h0.tail_tiles.edge_tile
+    assert st0["tail_live"] == int(
+        np.asarray(jnp.sum(h0.tail_tiles.vals != 0))
+    )
+
+    band = 96
+    hb = build_hybrid(
+        pcsr, s_cols=S, norm="right", strip_dtype=jnp.float32,
+        tail_band_cols=band,
+    )
+    stb = tail_slot_stats(pcsr, S, band_cols=band, presorted=True)
+    assert stb["tiles"] == sum(
+        int(t.block.shape[0]) for t in hb.tail_bands
+    )
+    assert stb["n_bands"] == len(hb.tail_bands)
+    # banding never reduces slots; inflation is what the rule audits
+    assert stb["slots"] >= st0["slots"]
+    # unsorted input: helper computes ranks itself, same answer
+    st_raw = tail_slot_stats(csr, S)
+    assert st_raw["tail_live"] == st0["tail_live"]
