@@ -69,7 +69,9 @@ def main():
     del g, perm  # free ~1 GB HBM before the strip build
     log(f"permute ({time.time()-t0:.1f}s)")
     t0 = time.time()
-    dt = jnp.float32 if args.dtype == "float32" else jnp.bfloat16
+    dt = {"float32": jnp.float32, "int8": jnp.int8}.get(
+        args.dtype, jnp.bfloat16
+    )
     h = build_hybrid_device(
         pg, s_cols=args.s, norm=args.norm, strip_dtype=dt,
         row_block=args.tail_row_block, edge_tile=args.tail_tile,
@@ -155,18 +157,24 @@ def main():
             log(f"  tail arm alone ({x.dtype}, chunk={chunk}, "
                 f"window={w or chunk}): {t_tail*1e3:.2f} ms")
 
-    # matmul arm breakdown (strip dtype inputs)
+    # matmul arm breakdown (strip-operand dtype inputs; int8 strips
+    # convert at matmul read exactly as the production op does)
+    from maxk_tpu.ops.spmm_hybrid import _strip_operand
+
     s = h.s_cols
-    xc = x.astype(h.strip.dtype)
+    _, cdt = _strip_operand(h.strip)
+    xc = x.astype(cdt)
     if h.padded_nodes != v:
         xc = jnp.pad(xc, ((0, h.padded_nodes - v), (0, 0)))
     xh = xc[:s]
     m1 = jax.jit(lambda w, a: jnp.dot(
-        w[a.shape[0]:], a, preferred_element_type=jnp.float32))
+        _strip_operand(w)[0][a.shape[0]:], a,
+        preferred_element_type=jnp.float32))
     t1 = timeit(m1, h.strip, xh)
     log(f"  W[s:]@xh (hub cols, rows>=s): {t1*1e3:.2f} ms")
     m2 = jax.jit(lambda w, a: jnp.einsum(
-        "vs,vd->sd", w, a, preferred_element_type=jnp.float32))
+        "vs,vd->sd", _strip_operand(w)[0], a,
+        preferred_element_type=jnp.float32))
     t2 = timeit(m2, h.strip, xc)
     log(f"  W^T@xc (hub rows): {t2*1e3:.2f} ms")
 

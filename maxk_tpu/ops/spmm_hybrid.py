@@ -24,6 +24,15 @@ from maxk_tpu.ops.spmm_xla import spmm_tiles_scan
 from maxk_tpu.sparse.hybrid import HybridSchedule
 
 
+def _strip_operand(strip: jax.Array):
+    """(matmul-ready strip, feature compute dtype). Integer strips
+    convert to bf16 at read time (fused into the matmul by XLA); float
+    strips pass through and set the feature dtype as before."""
+    if jnp.issubdtype(strip.dtype, jnp.integer):
+        return strip.astype(jnp.bfloat16), jnp.bfloat16
+    return strip, strip.dtype
+
+
 def spmm_hybrid(
     h: HybridSchedule,
     x: jax.Array,
@@ -40,7 +49,12 @@ def spmm_hybrid(
     pre, post = (h.post, h.pre) if transpose else (h.pre, h.post)
     xs = x if pre_applied else x * pre[:, None].astype(x.dtype)
 
-    xc = xs.astype(h.strip.dtype)
+    # int8 strip (exact on integer-valued graphs): features stay bf16 and
+    # the strip converts at matmul-read time — XLA fuses the int8→bf16
+    # convert into the contraction, so the strip's HBM traffic is HALF
+    # the bf16 form's, buying a 2× wider strip at the same budget
+    w, cdt = _strip_operand(h.strip)
+    xc = xs.astype(cdt)
     vp = h.padded_nodes
     if vp != v:
         xc = jnp.pad(xc, ((0, vp - v), (0, 0)))
@@ -52,10 +66,10 @@ def spmm_hybrid(
     # the add-then-subtract form (saves the (S, S, D) corner matmul and
     # S wasted rows of W @ xh)
     yh = jnp.einsum(
-        "vs,vd->sd", h.strip, xc, preferred_element_type=jnp.float32
+        "vs,vd->sd", w, xc, preferred_element_type=jnp.float32
     )
     # rows≥S: hub-columns arm only
-    yt = jnp.dot(h.strip[s:], xh, preferred_element_type=jnp.float32)
+    yt = jnp.dot(w[s:], xh, preferred_element_type=jnp.float32)
     y = jnp.concatenate([yh, yt])
 
     # tail arm: rows≥S × cols≥S leftover edges on the gather path, in the
@@ -105,8 +119,8 @@ def spmm_hybrid_sharded(
         h.local_pre(), h.local_post()
     )
     xs = x if pre_applied else x * pre[:, None].astype(x.dtype)
-    w = h.local_strip()  # (Vs, S)
-    xc = xs.astype(w.dtype)
+    w, cdt = _strip_operand(h.local_strip())  # (Vs, S)
+    xc = xs.astype(cdt)
     xh = xc[:s]
 
     idx = jax.lax.axis_index(h.axis)

@@ -73,6 +73,7 @@ def auto_strip_cols(
     e_live: Optional[int] = None,
     dim: int = 256,
     io_itemsize: int = 4,
+    strip_itemsize: int = 2,
 ) -> int:
     """Strip width for a V-node graph: the default, shrunk to fit HBM
     (bf16), lane-aligned.
@@ -102,7 +103,10 @@ def auto_strip_cols(
             + 17 * e_live
         )
         budget = min(budget, HBM_BYTES - working - 1.5e9)
-    fit = int(max(budget, 0.0) // (vp * 2)) // 128 * 128
+    # strip_itemsize: 2 for the bf16 strip (default), 1 for the exact
+    # int8 strip (integer-valued graphs) — half the bytes per column
+    # buys twice the width at the same budget
+    fit = int(max(budget, 0.0) // (vp * strip_itemsize)) // 128 * 128
     return max(min(s_cols, v, fit), 0)
 
 
@@ -318,6 +322,20 @@ def build_hybrid(
     vp = -(-v // 128) * 128
     live = vals != 0
     in_strip = (cols < s) & live
+    if jnp.issubdtype(jnp.dtype(strip_dtype), jnp.integer):
+        # integer strips are EXACT only for integer-valued graphs (raw
+        # symmetric weights after dedup: 1.0 + duplicate-sum counts);
+        # the diagonal scales carry all normalization
+        iinfo = jnp.iinfo(strip_dtype)
+        bad = (vals[in_strip] != np.round(vals[in_strip])) | (
+            np.abs(vals[in_strip]) > iinfo.max
+        )
+        if bad.any():
+            raise ValueError(
+                f"strip_dtype={jnp.dtype(strip_dtype).name} requires "
+                f"integer strip values in [{iinfo.min}, {iinfo.max}]; "
+                f"{int(bad.sum())} edges violate this"
+            )
     strip = np.zeros((vp, s), dtype=np.float32)
     strip[rows[in_strip], cols[in_strip]] = vals[in_strip]
 

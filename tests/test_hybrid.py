@@ -17,7 +17,7 @@ from maxk_tpu.ops.spgemm import maxk_spgemm, spmm
 from maxk_tpu.ops.spmm_hybrid import spmm_hybrid
 from maxk_tpu.ops.spmm_xla import spmm_segsum
 from maxk_tpu.sparse.cbsr import maxk_cbsr
-from maxk_tpu.sparse.csr import csr_transpose, with_norm
+from maxk_tpu.sparse.csr import CSRGraph, csr_transpose, with_norm
 from maxk_tpu.sparse.graph import build_graph
 from maxk_tpu.sparse.hybrid import (
     build_hybrid,
@@ -290,3 +290,53 @@ def test_tail_slot_stats_match_built_schedule():
     # unsorted input: helper computes ranks itself, same answer
     st_raw = tail_slot_stats(csr, S)
     assert st_raw["tail_live"] == st0["tail_live"]
+
+
+def test_int8_strip_exact_on_integer_graph():
+    """int8 strip (exact on integer-valued graphs, half the HBM of bf16
+    → 2× wider strip at the same budget): fwd, transpose and grad match
+    the f32 schedule to bf16-feature precision, on both builders."""
+    from maxk_tpu.sparse.hybrid import auto_strip_cols
+
+    csr = _graph(v=500, e=4000, seed=21)
+    pcsr = permute_csr(csr, degree_perm(csr))
+    h32 = build_hybrid(pcsr, s_cols=S, norm="right", strip_dtype=jnp.float32)
+    h8 = build_hybrid(pcsr, s_cols=S, norm="right", strip_dtype=jnp.int8)
+    assert h8.strip.dtype == jnp.int8
+    np.testing.assert_array_equal(
+        np.asarray(h8.strip, np.float32), np.asarray(h32.strip)
+    )
+    h8d = build_hybrid_device(
+        pcsr, s_cols=S, norm="right", strip_dtype=jnp.int8
+    )
+    np.testing.assert_array_equal(
+        np.asarray(h8d.strip, np.float32), np.asarray(h32.strip)
+    )
+    x = _x(csr.num_nodes, seed=9)
+    ref = np.asarray(spmm_hybrid(h32, x))
+    # features ride bf16 with the int8 strip: bf16 tolerance
+    sc = np.abs(ref).max()
+    assert np.abs(np.asarray(spmm_hybrid(h8, x)) - ref).max() < 2e-2 * sc
+    assert np.abs(np.asarray(spmm_hybrid(h8d, x)) - ref).max() < 2e-2 * sc
+    rt = np.asarray(spmm_hybrid(h32, x, transpose=True))
+    assert np.abs(
+        np.asarray(spmm_hybrid(h8, x, transpose=True)) - rt
+    ).max() < 2e-2 * max(np.abs(rt).max(), 1e-6)
+    ct = _x(csr.num_nodes, seed=10)
+    g32 = jax.grad(lambda x_: jnp.vdot(spmm_hybrid(h32, x_), ct))(x)
+    g8 = jax.grad(lambda x_: jnp.vdot(spmm_hybrid(h8, x_), ct))(x)
+    gsc = np.abs(np.asarray(g32)).max()
+    assert np.abs(np.asarray(g8) - np.asarray(g32)).max() < 2e-2 * gsc
+    # non-integer strip values must be rejected, not silently truncated
+    bad = CSRGraph(
+        indptr=pcsr.indptr, indices=pcsr.indices,
+        values=pcsr.values * 0.5,
+    )
+    with pytest.raises(ValueError, match="integer strip values"):
+        build_hybrid(bad, s_cols=S, strip_dtype=jnp.int8)
+    # the width rule: int8 halves the per-column cost
+    s2 = auto_strip_cols(300_000, e_live=80_000_000, strip_itemsize=1,
+                         s_cols=1 << 30)
+    s4 = auto_strip_cols(300_000, e_live=80_000_000, strip_itemsize=2,
+                         s_cols=1 << 30)
+    assert s2 >= 2 * s4 - 256
