@@ -172,6 +172,14 @@ def main(argv=None):
         "keeping every IO tensor bf16 — see auto_strip_cols",
     )
     p.add_argument(
+        "--strip_dtype", default="bfloat16", choices=["bfloat16", "int8"],
+        help="hybrid strip storage dtype. int8 is EXACT on integer-"
+        "valued graphs (the strip holds raw symmetric values; "
+        "build_hybrid_device raises otherwise) and halves the strip's "
+        "HBM bytes, so auto_strip_cols affords twice the width on "
+        "HBM-limited graphs (ogbn-products)",
+    )
+    p.add_argument(
         "--tail_band_cols", type=int, default=-1,
         help="hybrid tail column-band width; 0 disables banding, -1 = "
         "production default (sparse.hybrid.auto_tail_band_cols)",
@@ -284,15 +292,21 @@ def main(argv=None):
             tiles = None
             from maxk_tpu.sparse.hybrid import auto_tail_band_cols
 
-            s_cols = auto_strip_cols(g.num_nodes, e_live=e_real,
-                                     dim=args.dim,
-                                     io_itemsize=args.io_itemsize)
+            strip_dtype = (
+                jnp.int8 if args.strip_dtype == "int8" else jnp.bfloat16
+            )
+            s_cols = auto_strip_cols(
+                g.num_nodes, e_live=e_real, dim=args.dim,
+                io_itemsize=args.io_itemsize,
+                strip_itemsize=jnp.dtype(strip_dtype).itemsize,
+            )
             band = (
                 auto_tail_band_cols(g.num_nodes, s_cols)
                 if args.tail_band_cols < 0 else args.tail_band_cols
             )
             hybrid = build_hybrid_device(
                 g_raw, s_cols=s_cols, norm="right", tail_band_cols=band,
+                strip_dtype=strip_dtype,
             )
             graph = Graph(csr=g, csc=g, hybrid=hybrid)
             # pre-norm CSR no longer needed: free its values (indices are
@@ -429,6 +443,10 @@ def main(argv=None):
                 "bwd_grad_bytes_cbsr": v * k * 4,
                 "bwd_grad_bytes_masked": v * args.dim * 4,
             }
+            if mode == "hybrid":
+                rec["strip_dtype"] = args.strip_dtype
+                rec["strip_cols"] = s_cols
+                rec["tail_band_cols"] = band
             # persist the timing record BEFORE validation, and again with
             # the validation fields: a late OOM (products k=64) must not
             # lose the completed measurements

@@ -41,6 +41,27 @@ def test_kernel_bench_tiny(capsys):
     assert "maxk_fwd" in out and "cusparse_role" in out
 
 
+def test_kernel_bench_int8_strip():
+    # the exact int8 strip: half the HBM per strip column; valid on
+    # integer-valued graphs (build raises otherwise)
+    from maxk_tpu.bench.kernel_bench import main
+
+    results = main(
+        [
+            "--graphs", "rmat_v1024_d50",
+            "--k", "8",
+            "--scale", "1.0",
+            "--mode", "hybrid",
+            "--strip_dtype", "int8",
+            "--validate",
+        ]
+    )
+    rec = results[0]
+    assert rec["valid"], rec
+    assert rec["strip_dtype"] == "int8"
+    assert rec["strip_cols"] > 0
+
+
 def test_spgemm_study_tiny(capsys):
     from maxk_tpu.bench.spgemm_study import main
 
