@@ -113,11 +113,13 @@ def auto_strip_cols(
 def auto_tail_band_cols(v: int, s_cols: int) -> int:
     """Production tail-banding rule. 0 = single band (no banding).
 
-    Placeholder pending the full-scale measurement (round-3 stage-1
-    probe): banding is only a candidate when the tail's column span is
-    several times the ~32K gather-locality window (docs/PERF.md: XLA row
-    gathers from ≤32K-row tables run ~1.6× faster). Flipped to a width
-    by measurement, not by theory.
+    Set by the round-3 full-reddit measurement (probe_hybrid, v5e,
+    T=64 production tail tile): unbanded 101.9 ms fwd vs 124.9 ms at
+    band_cols=65536 and 125.0 ms at 32768 — the extra slot padding
+    (8.5M/11.0M vs 6.3M slots) costs more than the ≤64K-window gather
+    locality recovers. Banding only won at the non-production T=256
+    tile (135 vs 172 ms), where padding per tile is 4× larger. See
+    docs/PERF.md round-3 table; flipped by measurement, not theory.
     """
     return 0
 
