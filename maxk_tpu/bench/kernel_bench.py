@@ -221,7 +221,15 @@ def main(argv=None):
         if mode == "auto":
             from maxk_tpu.sparse.hybrid import hybrid_profitable
 
-            has_hyb = hybrid_profitable(g.num_nodes, e_live, args.dim)
+            # the dispatch decision must see the SAME width the builder
+            # gets: int8 halves strip_itemsize (2× width), bf16 IO frees
+            # the f32 buffers — both flip profitability exactly on the
+            # HBM-limited graphs the flags exist for (ADVICE r3)
+            has_hyb = hybrid_profitable(
+                g.num_nodes, e_live, args.dim,
+                io_itemsize=args.io_itemsize,
+                strip_itemsize=1 if args.strip_dtype == "int8" else 2,
+            )
             mode = resolve_mode("auto", has_tiles=True, has_hybrid=has_hyb).value
         if mode == "hybrid":
             from maxk_tpu.sparse.hybrid import (
@@ -329,10 +337,20 @@ def main(argv=None):
             # never lose to its own fallback.
             from maxk_tpu.ops.topk_pallas import maxk_mask_fast
 
+            # masked-arm dtype: bf16 once the (V, dim) f32 in/out pair
+            # (5 GB at products scale) no longer fits next to the graph
+            # schedule — the r3 suite OOM'd exactly here. bf16 is also
+            # what production runs (the SpMM consumes bf16), so nothing
+            # about the timed kernel changes except its IO width.
+            mask_dtype = (
+                jnp.bfloat16
+                if args.io_itemsize == 2 or v * args.dim * 4 > (2 << 30)
+                else jnp.float32
+            )
             xk_f = jax.jit(
                 lambda: jax.random.normal(
                     jax.random.fold_in(key, 300 + k), (v, args.dim)
-                )
+                ).astype(mask_dtype)
             )
             x_k = xk_f()
             t_mask = timeit(
@@ -343,7 +361,7 @@ def main(argv=None):
                 lambda x: maxk_mask_fast(x, k).astype(jnp.bfloat16)
             )(x_k)
             if hasattr(x_k, "delete"):
-                x_k.delete()  # (V, dim) f32: products-scale headroom
+                x_k.delete()  # (V, dim): products-scale headroom
             prod_fwd = jax.jit(lambda g_, x: spmm(g_, x, mode=mode))
             t_fwd = timeit(prod_fwd, graph, xm, iters=4)
             print(f"{n} {name} {args.dim} {k} maxk_fwd {t_fwd*1e3:.4f}")
@@ -442,10 +460,13 @@ def main(argv=None):
                 # masked path's (V, dim) cotangent-sized one
                 "bwd_grad_bytes_cbsr": v * k * 4,
                 "bwd_grad_bytes_masked": v * args.dim * 4,
+                "mask_dtype": jnp.dtype(mask_dtype).name,
             }
             if mode == "hybrid":
                 rec["strip_dtype"] = args.strip_dtype
-                rec["strip_cols"] = s_cols
+                # the width actually BUILT (build clamps to min(s, v) and
+                # 128-aligns), not the requested auto_strip_cols value
+                rec["strip_cols"] = hybrid.s_cols
                 rec["tail_band_cols"] = band
             # persist the timing record BEFORE validation, and again with
             # the validation fields: a late OOM (products k=64) must not
@@ -466,6 +487,11 @@ def main(argv=None):
                 rec["validation"] = detail
                 log(f"  validate k={k}: ok={ok} {detail}")
                 dump()
+            # free this k's CBSR before the next iteration allocates its
+            # (V, dim) feature pair — every 100 MB counts at products scale
+            for a in (vals, sel):
+                if hasattr(a, "delete"):
+                    a.delete()
         if args.dispatch_check and mode in ("hybrid", "tiles_scan"):
             # time the arm the dispatch rule did NOT pick, once per
             # graph (the production forward is k-independent), so the

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -40,15 +41,22 @@ def main(argv=None):
     p.add_argument("--feat_snr", type=float, default=0.15)
     p.add_argument("--lr", type=float, default=0.01)
     p.add_argument("--kernel_mode", default="auto")
+    p.add_argument("--lib_mode", default="tiles_scan",
+                   help="kernel mode of the relu_lib baseline arm (the "
+                   "reference's DGL-gspmm role)")
     p.add_argument("--compute_dtype", default="")
     p.add_argument("--seed", type=int, default=97)
     p.add_argument("--json_out", default="",
                    help="persist results incrementally (timeout-safe)")
+    p.add_argument("--platform", default="",
+                   help="force a jax platform (e.g. 'cpu')")
     args = p.parse_args(argv)
 
     import jax
     import numpy as np
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     jax.config.update("jax_compilation_cache_dir", "/root/.maxk_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
@@ -56,23 +64,52 @@ def main(argv=None):
     from maxk_tpu.train.config import TrainConfig
     from maxk_tpu.train.loop import train
 
+    # re-entrant: resume from an existing json_out (the r3 campaign died
+    # mid-run with nothing to resume from — per-arm done-state lives in
+    # the artifact itself, so a wedge costs the current arm, not the sweep)
     results = []
+    if args.json_out and os.path.exists(args.json_out):
+        with open(args.json_out) as f:
+            prev = json.load(f)
+        # partial runs persist a bare list; a finished run persists the
+        # full doc — resume from either
+        results = prev["results"] if isinstance(prev, dict) else prev
+        log(f"resuming: {len(results)} completed arms in {args.json_out}")
+    done = {(r["dataset"], r["model"], r["arm"]) for r in results}
+
     for ds in args.datasets:
-        data = load_dataset(ds, scale=args.scale, seed=123,
-                            feat_snr=args.feat_snr)
-        log(f"{ds} x{args.scale}: V={data.csr.num_nodes} E={data.csr.nnz} "
-            f"snr={args.feat_snr}")
+        data = None
         for model in args.models:
-            arms = [("relu", args.hidden_dim)] + [
-                ("maxk", k) for k in args.k if k <= args.hidden_dim
+            # three arm kinds (reference protocol + one TPU-specific):
+            #   relu      — relu on the production kernel (accuracy ref;
+            #               on TPU the aggregation cost is k-independent,
+            #               so this is ALSO the speed-parity arm)
+            #   relu_lib  — relu on the library schedule: the analog of
+            #               the reference's DGL-gspmm baseline, which is
+            #               what its published 54%-on-reddit speedups are
+            #               measured against (`plotgnn.py:26-31`)
+            #   maxk_k*   — MaxK on the production kernel
+            arms = [
+                ("relu", args.hidden_dim, "relu", args.kernel_mode),
+                ("relu", args.hidden_dim, "relu_lib", args.lib_mode),
+            ] + [
+                ("maxk", k, f"maxk_k{k}", args.kernel_mode)
+                for k in args.k if k <= args.hidden_dim
             ]
-            for nonlinear, k in arms:
+            for nonlinear, k, arm, kmode in arms:
+                if (ds, model, arm) in done:
+                    continue
+                if data is None:
+                    data = load_dataset(ds, scale=args.scale, seed=123,
+                                        feat_snr=args.feat_snr)
+                    log(f"{ds} x{args.scale}: V={data.csr.num_nodes} "
+                        f"E={data.csr.nnz} snr={args.feat_snr}")
                 cfg = TrainConfig(
                     dataset=ds, model=model, epochs=args.epochs,
                     lr=args.lr, hidden_dim=args.hidden_dim,
                     hidden_layers=args.hidden_layers, nonlinear=nonlinear,
                     maxk=k, seed=args.seed, data_scale=args.scale,
-                    kernel_mode=args.kernel_mode,
+                    kernel_mode=kmode,
                     compute_dtype=args.compute_dtype,
                     feat_snr=args.feat_snr,
                 )
@@ -81,7 +118,6 @@ def main(argv=None):
                     float(np.mean(state.epoch_times) * 1e3)
                     if state.epoch_times else 0.0
                 )
-                arm = "relu" if nonlinear == "relu" else f"maxk_k{k}"
                 rec = {
                     "dataset": ds, "model": model, "arm": arm,
                     "best_val": round(state.best_val, 4),
@@ -104,26 +140,46 @@ def main(argv=None):
         for model in args.models:
             rows = [r for r in results
                     if r["dataset"] == ds and r["model"] == model]
-            relu = next(r for r in rows if r["arm"] == "relu")
+            relu = next((r for r in rows if r["arm"] == "relu"), None)
+            lib = next((r for r in rows if r["arm"] == "relu_lib"), None)
+            if relu is None:
+                continue  # partial resume: no reference arm yet
             for r in rows:
-                if r["arm"] == "relu":
+                if r["arm"] in ("relu", "relu_lib"):
                     continue
-                summary.append({
+                row = {
                     "dataset": ds, "model": model, "arm": r["arm"],
                     "acc_delta": round(r["best_test"] - relu["best_test"], 4),
+                    # vs relu on the SAME production kernel (on TPU the
+                    # aggregation is k-independent, so expect ~0)
                     "speedup_pct": round(
                         100.0 * (relu["epoch_ms"] - r["epoch_ms"])
                         / max(relu["epoch_ms"], 1e-9), 1),
-                })
-    print(json.dumps({
+                }
+                if lib is not None:
+                    # vs the library-schedule baseline — the comparison
+                    # the reference's published % improvements make
+                    # (`plotgnn.py:26-31` vs DGL)
+                    row["speedup_vs_lib_pct"] = round(
+                        100.0 * (lib["epoch_ms"] - r["epoch_ms"])
+                        / max(lib["epoch_ms"], 1e-9), 1)
+                summary.append(row)
+    doc = {
         "protocol": {
             "feat_snr": args.feat_snr, "scale": args.scale,
             "epochs": args.epochs, "hidden_dim": args.hidden_dim,
             "hidden_layers": args.hidden_layers, "seed": args.seed,
+            "datasets": args.datasets, "models": args.models,
         },
         "results": results,
         "vs_relu": summary,
-    }))
+    }
+    print(json.dumps(doc))
+    if args.json_out:
+        # final artifact = full doc (protocol + vs_relu table), written
+        # LAST so a partial run's json_out stays a resumable bare list
+        with open(args.json_out, "w") as f:
+            json.dump(doc, f, indent=1)
     return results
 
 

@@ -39,7 +39,11 @@ ROWS_PER_BLOCK = 256
 def _take_mask(k: int, x):
     """Tie-aware top-k selection mask for one row block (shared by the
     CBSR kernel and the mask-only kernel): exact-f32 radix threshold
-    search + first-(k−#greater) tie resolution in column order."""
+    search + first-(k−#greater) tie resolution in column order. bf16
+    inputs are upcast in VMEM (exact); the threshold search runs on the
+    f32 bit pattern either way."""
+    if x.dtype != jnp.float32:
+        x = x.astype(jnp.float32)
     rb, d = x.shape
     # order-preserving f32 -> uint32: flip sign bit for positives,
     # all bits for negatives
@@ -96,7 +100,10 @@ def _mask_kernel(k: int, x_ref, out_ref, take_ref):
     x = x_ref[:]
     take, _ = _take_mask(k, x)
     take_f = take.astype(jnp.float32)
-    out_ref[:] = x * take_f
+    # output dtype follows the input (bf16 in → bf16 out): at
+    # ogbn-products scale the f32 (V, D) in/out pair alone is 5 GB and
+    # OOMs next to the hybrid strip (r3 suite, kernel_bench masked arm)
+    out_ref[:] = (x.astype(jnp.float32) * take_f).astype(out_ref.dtype)
     # 0/1 is exact in bf16; halves the mask residual's HBM traffic
     take_ref[:] = take_f.astype(jnp.bfloat16)
 
@@ -123,7 +130,7 @@ def _mask_pallas_raw(x: jax.Array, k: int, interpret: bool = False):
             pl.BlockSpec((rb, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((vp, d), jnp.float32),
+            jax.ShapeDtypeStruct((vp, d), x.dtype),
             jax.ShapeDtypeStruct((vp, d), jnp.bfloat16),
         ),
         interpret=interpret,

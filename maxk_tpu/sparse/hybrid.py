@@ -124,7 +124,13 @@ def auto_tail_band_cols(v: int, s_cols: int) -> int:
     return 0
 
 
-def hybrid_profitable(v: int, e_live: int, dim: int = 256) -> bool:
+def hybrid_profitable(
+    v: int,
+    e_live: int,
+    dim: int = 256,
+    io_itemsize: int = 4,
+    strip_itemsize: int = 2,
+) -> bool:
     """Planning rule: build the strip hybrid only where its 3 dense
     matmuls beat the gather wall the tail would otherwise pay.
 
@@ -134,8 +140,16 @@ def hybrid_profitable(v: int, e_live: int, dim: int = 256) -> bool:
     average-degree graphs (reddit ~340, proteins ~30 at published scale)
     pass; flickr/yelp-density graphs stay on the tile path — mirroring
     the reference's own claim territory (`README.md:136` restricts the
-    kernel speedups to graphs with avg degree > 50)."""
-    s = auto_strip_cols(v, e_live=e_live, dim=dim)
+    kernel speedups to graphs with avg degree > 50).
+
+    `io_itemsize`/`strip_itemsize` must match what the caller will build
+    with (`auto_strip_cols` kwargs): an int8 strip affords 2× the width
+    at the same HBM budget, which flips the decision exactly on the
+    HBM-limited graphs the flag exists for."""
+    s = auto_strip_cols(
+        v, e_live=e_live, dim=dim,
+        io_itemsize=io_itemsize, strip_itemsize=strip_itemsize,
+    )
     if s < 256:
         return False  # strip too narrow to hold the hub mass
     vp = -(-v // 128) * 128
@@ -466,6 +480,33 @@ def build_hybrid_device(
     s = min(s_cols, v)
     s = max(128, (s // 128) * 128) if v >= 128 else v
     vp = -(-v // 128) * 128
+
+    if jnp.issubdtype(jnp.dtype(strip_dtype), jnp.integer):
+        # same exactness gate as the host builder (`build_hybrid`): an
+        # integer strip silently truncates non-integer or out-of-range
+        # values in strip_chunk's astype, so check BEFORE scattering.
+        # One jitted pass over E, two scalar fetches.
+        iinfo = jnp.iinfo(strip_dtype)
+
+        @jax.jit
+        def _int_gate(indptr, indices, values):
+            e = indices.shape[0]
+            ar = jnp.arange(e, dtype=jnp.int32)
+            live = (ar < indptr[-1]) & (values != 0) & (indices < s)
+            frac = jnp.where(
+                live, jnp.abs(values - jnp.round(values)), 0.0
+            ).max()
+            mag = jnp.where(live, jnp.abs(values), 0.0).max()
+            return frac, mag
+
+        frac, mag = _int_gate(csr.indptr, csr.indices, csr.values)
+        if float(frac) != 0.0 or float(mag) > iinfo.max:
+            raise ValueError(
+                f"strip_dtype={jnp.dtype(strip_dtype).name} requires "
+                f"integer strip values in [{iinfo.min}, {iinfo.max}]; "
+                f"max |v - round(v)| = {float(frac)}, max |v| = "
+                f"{float(mag)}"
+            )
 
     # Phased build (separate jits, donated buffers): a reddit-scale strip
     # is 7.6 GB bf16 and the naive single-jit version co-residents it with
