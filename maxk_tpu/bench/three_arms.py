@@ -31,8 +31,13 @@ def log(*a):
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--graphs", nargs="+", default=["reddit"])
-    p.add_argument("--scale", type=float, default=0.25)
+    # claim shape (`README.md:136`): per-degree-class averages over a
+    # graph set spanning the avg-degree-50 boundary — reddit (~493) and
+    # proteins (~30→x1.0 here ~15) above/below, flickr (~10) below
+    p.add_argument(
+        "--graphs", nargs="+", default=["reddit", "ogbn-proteins", "flickr"]
+    )
+    p.add_argument("--scale", type=float, default=1.0)
     p.add_argument("--dim", type=int, default=256)
     p.add_argument("--out", default="")
     p.add_argument("--platform", default="")
@@ -65,6 +70,57 @@ def main(argv=None):
     from maxk_tpu.sparse.meta import build_edge_tiles_device
 
     results = []
+
+    def persist():
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(assemble(), f, indent=1)
+
+    def assemble():
+        # per-degree-class geomean speedups of each schedule vs the
+        # library arm — the shape of the reference's claim table
+        # (`README.md:136`: per-k averages over the degree>50 class)
+        classes = {"avg_deg_ge_50": [], "avg_deg_lt_50": []}
+        for r in results:
+            if "tiles_scan_ms" not in r:
+                continue
+            cls = (
+                "avg_deg_ge_50"
+                if r["E"] / max(r["V"], 1) >= 50 else "avg_deg_lt_50"
+            )
+            classes[cls].append(r)
+        summary = {}
+        for cls, rows in classes.items():
+            if not rows:
+                continue
+            ent = {"n_graphs": len(rows)}
+            for arm in ("hybrid", "bricks"):
+                sp = [
+                    r["tiles_scan_ms"] / r[f"{arm}_ms"]
+                    for r in rows
+                    if r.get(f"{arm}_ms") and r.get(f"{arm}_valid")
+                ]
+                if sp:
+                    ent[f"{arm}_geomean_speedup"] = float(
+                        np.exp(np.mean(np.log(sp)))
+                    )
+                    ent[f"{arm}_n"] = len(sp)
+            summary[cls] = ent
+        return {
+            "protocol": {
+                "scale": args.scale, "dim": args.dim,
+                "note": "three independent schedules of the same SpMM on "
+                        "the same bf16 input (GNNAdvisor-comparison role, "
+                        "README.md:136); each validated vs the tile "
+                        "oracle. The forward is k-independent by design "
+                        "(masked dense input), so the per-k axis lives in "
+                        "BENCH_SUITE; this artifact carries the per-"
+                        "degree-class schedule comparison.",
+            },
+            "results": results,
+            "geomean_by_degree_class": summary,
+        }
+
     for name in args.graphs:
         spec = DATASETS[name]
         v = max(int(spec.num_nodes * args.scale), 256)
@@ -106,6 +162,8 @@ def main(argv=None):
             mx, mn = (float(q) for q in rel_err(yh, y_ref))
             rec["hybrid_valid"] = mn < 1e-3
             rec["hybrid_rel_err"] = {"max": mx, "mean": mn}
+            if hasattr(yh, "delete"):
+                yh.delete()
             t_h = timeit(fh, h, x, iters=4)
             rec["hybrid_ms"] = t_h * 1e3
             log(f"hybrid: {t_h*1e3:.2f} ms (rel err mean {mn:.2e})")
@@ -114,44 +172,48 @@ def main(argv=None):
             )
 
         # arm 3: bricks (GNNAdvisor role)
-        if "bricks" not in args.arms:
-            results.append(rec)
-            continue
-        try:
-            from maxk_tpu.ops.spmm_bricks import spmm_bricks
-            from maxk_tpu.sparse.bricks import build_bricks_device
+        if "bricks" in args.arms:
+            try:
+                from maxk_tpu.ops.spmm_bricks import spmm_bricks
+                from maxk_tpu.sparse.bricks import build_bricks_device
 
-            t0 = time.time()
-            sched = build_bricks_device(gn)
-            jax.block_until_ready(sched.val)
-            log(f"bricks build {time.time()-t0:.0f}s")
-            interp = jax.default_backend() != "tpu"  # CPU: interpret mode
-            fb = jax.jit(lambda xx: spmm_bricks(sched, xx, interpret=interp))
-            yb = fb(x)
-            mx, mn = (float(q) for q in rel_err(yb, y_ref))
-            rec["bricks_valid"] = mn < 1e-3
-            rec["bricks_rel_err"] = {"max": mx, "mean": mn}
-            t_b = timeit(fb, x, iters=4)
-            rec["bricks_ms"] = t_b * 1e3
-            log(f"bricks: {t_b*1e3:.2f} ms (rel err mean {mn:.2e})")
-        except Exception as ex:
-            rec["bricks_error"] = f"{type(ex).__name__}: {str(ex)[:300]}"
-            log(f"bricks FAILED: {rec['bricks_error']}")
+                t0 = time.time()
+                sched = build_bricks_device(gn)
+                jax.block_until_ready(sched.val)
+                log(f"bricks build {time.time()-t0:.0f}s")
+                interp = jax.default_backend() != "tpu"  # CPU: interpret
+                fb = jax.jit(
+                    lambda xx: spmm_bricks(sched, xx, interpret=interp)
+                )
+                yb = fb(x)
+                mx, mn = (float(q) for q in rel_err(yb, y_ref))
+                rec["bricks_valid"] = mn < 1e-3
+                rec["bricks_rel_err"] = {"max": mx, "mean": mn}
+                if hasattr(yb, "delete"):
+                    yb.delete()
+                t_b = timeit(fb, x, iters=4)
+                rec["bricks_ms"] = t_b * 1e3
+                log(f"bricks: {t_b*1e3:.2f} ms (rel err mean {mn:.2e})")
+                jax.tree.map(
+                    lambda a: a.delete() if hasattr(a, "delete") else None,
+                    sched,
+                )
+            except Exception as ex:
+                rec["bricks_error"] = f"{type(ex).__name__}: {str(ex)[:300]}"
+                log(f"bricks FAILED: {rec['bricks_error']}")
         results.append(rec)
+        persist()  # per-graph: a wedge costs the current graph only
+        # free this graph's schedules before the next one's build (full
+        # reddit: tiles + x + sched would otherwise co-reside)
+        jax.tree.map(
+            lambda a: a.delete() if hasattr(a, "delete") else None,
+            (g, gn, tiles, x, y_ref),
+        )
 
-    doc = {
-        "protocol": {
-            "scale": args.scale, "dim": args.dim,
-            "note": "three independent schedules of the same SpMM on "
-                    "the same bf16 input (GNNAdvisor-comparison role, "
-                    "README.md:136); each validated vs the tile oracle",
-        },
-        "results": results,
-    }
+    doc = assemble()
     out = json.dumps(doc, indent=1)
     if args.out:
-        with open(args.out, "w") as f:
-            f.write(out)
+        persist()
         log(f"wrote {args.out}")
     print(out)
     return results
