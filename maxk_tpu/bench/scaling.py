@@ -45,24 +45,29 @@ def analytic_v5e_ms(arm, n, v, e, d, k, nl, s_cols=0, tail_e=0):
     """Per-step time a v5e mesh model predicts for one arm at n chips.
 
     Counts, per layer: the local aggregation (gather wall or strip
-    matmuls + tail gather) and the cross-chip collective (compressed
-    (V,k) all_gather for maxk, dense (V,D) for relu, plus the hybrid's
-    (S,D) hub psum). fwd+bwd ≈ 2× the forward aggregation (the backward
-    is one more A^T SpMM of the same shape; see ops/spgemm). Collective
-    bytes are per-device RECEIVE volume ((n-1)/n of the full array).
+    matmuls + tail gather) and the cross-chip collectives. fwd+bwd ≈ 2×
+    the forward aggregation (the backward is one more A^T SpMM of the
+    same shape; see ops/spgemm). Collective bytes come from
+    `parallel.audit.model_recv_bytes_fwd_bwd` — the SAME model a test
+    asserts equal, shape for shape, to the compiled HLO
+    (tests/test_shard.py::test_collective_bytes_match_analytic). The r3
+    version of this roofline omitted the backward (Vp, D) reduce-scatter
+    entirely, overstating maxk-arm efficiency; the audit caught it.
     """
+    from maxk_tpu.parallel.audit import model_recv_bytes_fwd_bwd
+
     if arm == "maxk_hybrid":
         # two strip matmuls per direction + tail gather on local rows
         strip_flops = 2 * (v / n) * s_cols * d * 2
         agg = strip_flops / V5E_MXU_FLOPS + (
             tail_e / n
         ) * V5E_GATHER_SEC_PER_EDGE
-        coll_bytes = 2 * s_cols * d * 4 * (n - 1) / n  # (S,D) psum
-        coll_bytes += v * (2 + 4) * k * (n - 1) / n  # CBSR gather
+        coll_bytes = model_recv_bytes_fwd_bwd(
+            "maxk_hybrid", n, v, d, k=k, s_cols=s_cols
+        )
     else:
         agg = (e / n) * V5E_GATHER_SEC_PER_EDGE
-        row_bytes = (2 + 4) * k if arm == "maxk" else 2 * d
-        coll_bytes = v * row_bytes * (n - 1) / n
+        coll_bytes = model_recv_bytes_fwd_bwd(arm, n, v, d, k=k)
     coll = coll_bytes / V5E_ICI_BYTES_S
     return nl * (2 * agg + coll) * 1e3
 

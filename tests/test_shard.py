@@ -387,3 +387,116 @@ def test_sharded_explicit_hybrid_on_directed_graph_raises(tiny_data):
     )
     with pytest.raises(ValueError, match="value-symmetric"):
         sharded_setup(cfg, data, mesh)
+
+
+# ---------------------------------------------------------------------------
+# compiled-HLO collective audit (VERDICT r3 #5): the analytic collective
+# model the scaling roofline charges must equal what XLA actually emits
+# ---------------------------------------------------------------------------
+
+
+def _compiled_text(fn, mesh, sgraph, *arrays, out_len=2):
+    sharded = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(GRAPH_AXIS),) + (P(GRAPH_AXIS),) * len(arrays),
+        out_specs=(P(GRAPH_AXIS),) * out_len,
+        check_vma=False,
+    )
+    return jax.jit(sharded).lower(sgraph, *arrays).compile().as_text()
+
+
+def test_collective_bytes_match_analytic(small_graph):
+    """maxk/relu fwd+bwd on the tile-free sharded path: XLA must emit
+    exactly the modeled collectives (CBSR all_gather + cotangent
+    reduce-scatter for maxk; dense all_gather + reduce-scatter for relu),
+    byte for byte."""
+    from maxk_tpu.parallel.audit import (
+        hlo_collectives,
+        model_recv_bytes_fwd_bwd,
+        recv_bytes_per_device,
+    )
+    from maxk_tpu.sparse.cbsr import CBSR
+
+    mesh = make_mesh(N_DEV)
+    sgraph = build_sharded_graph(small_graph, N_DEV, norm="right")
+    vp = sgraph.padded_nodes
+    k = 4
+    vals = jnp.ones((vp, k), jnp.float32)
+    sel = jnp.zeros((vp, k), jnp.int32)
+    ct = jnp.ones((vp, D), jnp.float32)
+
+    def f_maxk(g, va, se, c):
+        y, vjp = jax.vjp(
+            lambda vv: maxk_spgemm(g, CBSR(vv, se), dim=D, mode="segsum"), va
+        )
+        (dv,) = vjp(c)
+        return y, dv
+
+    txt = _compiled_text(f_maxk, mesh, sgraph, vals, sel, ct)
+    colls = hlo_collectives(txt)
+    ops = sorted(c[0] for c in colls)
+    assert ops == ["all-gather", "all-gather", "reduce-scatter"], colls
+    got = recv_bytes_per_device(colls, N_DEV)
+    want = model_recv_bytes_fwd_bwd("maxk", N_DEV, vp, D, k=k)
+    assert got == pytest.approx(want, rel=1e-12), (got, want, colls)
+
+    def f_relu(g, x, c):
+        y, vjp = jax.vjp(lambda xx: spmm(g, xx, mode="segsum"), x)
+        (dx,) = vjp(c)
+        return y, dx
+
+    x = jnp.ones((vp, D), jnp.float32)
+    txt = _compiled_text(f_relu, mesh, sgraph, x, ct)
+    colls = hlo_collectives(txt)
+    ops = sorted(c[0] for c in colls)
+    assert ops == ["all-gather", "reduce-scatter"], colls
+    got = recv_bytes_per_device(colls, N_DEV)
+    want = model_recv_bytes_fwd_bwd("relu", N_DEV, vp, D)
+    assert got == pytest.approx(want, rel=1e-12), (got, want, colls)
+
+
+def test_collective_bytes_match_analytic_hybrid(small_graph):
+    """Sharded strip-hybrid fwd+bwd: compressed CBSR gather + cotangent
+    gather + two (S, D) hub psums — and nothing else."""
+    from maxk_tpu.parallel.audit import (
+        hlo_collectives,
+        model_recv_bytes_fwd_bwd,
+        recv_bytes_per_device,
+    )
+    from maxk_tpu.sparse.cbsr import CBSR
+    from maxk_tpu.sparse.hybrid import degree_perm, permute_csr
+
+    pcsr = permute_csr(small_graph, degree_perm(small_graph))
+    mesh = make_mesh(N_DEV)
+    s_cols = 128
+    sgraph = build_sharded_graph(
+        pcsr, N_DEV, norm="right", hybrid=True,
+        strip_cols=s_cols, strip_dtype=jnp.float32,
+    )
+    assert sgraph.hybrid is not None
+    vp = sgraph.padded_nodes
+    k = 4
+    vals = jnp.ones((vp, k), jnp.float32)
+    sel = jnp.zeros((vp, k), jnp.int32)
+    ct = jnp.ones((vp, D), jnp.float32)
+
+    def f(g, va, se, c):
+        y, vjp = jax.vjp(
+            lambda vv: maxk_spgemm(g, CBSR(vv, se), dim=D, mode="auto"), va
+        )
+        (dv,) = vjp(c)
+        return y, dv
+
+    txt = _compiled_text(f, mesh, sgraph, vals, sel, ct)
+    colls = hlo_collectives(txt)
+    ops = sorted(c[0] for c in colls)
+    assert ops == [
+        "all-gather", "all-gather", "all-gather", "all-reduce", "all-reduce",
+    ], colls
+    got = recv_bytes_per_device(colls, N_DEV)
+    want = model_recv_bytes_fwd_bwd(
+        "maxk_hybrid", N_DEV, vp, D, k=k,
+        s_cols=sgraph.hybrid.s_cols,
+    )
+    assert got == pytest.approx(want, rel=1e-12), (got, want, colls)
