@@ -164,6 +164,7 @@ def main():
     if mode == "hybrid":
         from maxk_tpu.sparse.hybrid import (
             auto_strip_cols,
+            auto_strip_dtype,
             auto_tail_band_cols,
             build_hybrid_device,
             degree_perm_device,
@@ -171,10 +172,18 @@ def main():
         )
 
         g = permute_csr_device(g, degree_perm_device(g))
-        s_cols = auto_strip_cols(v, e_live=e_real, dim=args.dim)
+        # production strip dtype rule (round 4): int8 where exact — the
+        # equal-HBM width doubles (16384 → 32768 at reddit), converting
+        # ~60% of the tail's gather-wall slots into MXU columns
+        strip_dtype = auto_strip_dtype(g)
+        s_cols = auto_strip_cols(
+            v, e_live=e_real, dim=args.dim,
+            strip_itemsize=jnp.dtype(strip_dtype).itemsize,
+        )
         hybrid = build_hybrid_device(
             g, s_cols=s_cols, norm="right",
             tail_band_cols=auto_tail_band_cols(v, s_cols),
+            strip_dtype=strip_dtype,
         )
         log(f"hybrid strip {hybrid.strip.shape} {hybrid.strip.dtype}")
     g = with_norm(g, "right")

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
@@ -56,6 +57,7 @@ def build_graph(
     strip_cols: Optional[int] = None,  # None → auto (HBM-budget-capped)
     tail_band_cols: int = -1,  # -1 → auto rule; 0 → single band
     dim: int = 256,  # model feature width — sizes the strip HBM budget
+    strip_dtype=None,  # None → auto (int8 where exact, else bf16)
 ) -> Graph:
     """Build the operator bundle. `norm` folds degree normalization into edge
     values (see `maxk_tpu.sparse.csr.with_norm`).
@@ -80,13 +82,22 @@ def build_graph(
         )
 
         if check_hybrid_ok(csr):
-            from maxk_tpu.sparse.hybrid import auto_strip_cols
+            from maxk_tpu.sparse.hybrid import (
+                auto_strip_cols,
+                auto_strip_dtype,
+            )
 
+            if strip_dtype is None:
+                # int8 where exact: same HBM budget buys 2× the strip
+                # width, which converts gather-wall tail slots into MXU
+                # columns (round-4 decision, docs/PERF.md)
+                strip_dtype = auto_strip_dtype(csr)
             if strip_cols is None:
                 strip_cols = auto_strip_cols(
                     csr.num_nodes,
                     e_live=int(np.asarray(csr.indptr[-1])),
                     dim=dim,
+                    strip_itemsize=jnp.dtype(strip_dtype).itemsize,
                 )
             if tail_band_cols < 0:
                 from maxk_tpu.sparse.hybrid import auto_tail_band_cols
@@ -103,6 +114,7 @@ def build_graph(
             hyb = build_hybrid(
                 csr, s_cols=strip_cols, norm=norm,
                 tail_band_cols=tail_band_cols,
+                strip_dtype=strip_dtype,
             )
     g = with_norm(csr, norm)
     gt = csr_transpose(g)

@@ -69,14 +69,20 @@ STRIP_HBM_BUDGET = 8e9  # strip bytes cap (reddit's 16384-wide strip fits)
 
 def auto_strip_cols(
     v: int,
-    s_cols: int = STRIP_COLS,
+    s_cols: Optional[int] = None,
     e_live: Optional[int] = None,
     dim: int = 256,
     io_itemsize: int = 4,
     strip_itemsize: int = 2,
 ) -> int:
-    """Strip width for a V-node graph: the default, shrunk to fit HBM
-    (bf16), lane-aligned.
+    """Strip width for a V-node graph: the default, shrunk to fit HBM,
+    lane-aligned.
+
+    `s_cols=None` → the equal-HBM-budget default: the probe-tuned bf16
+    width (16384 at reddit) spends 32768 strip bytes per padded row, so
+    a narrower strip itemsize affords proportionally more columns at the
+    same budget (int8 → 32768 — measured on full reddit to convert
+    ~3.8M tail slots into near-free MXU columns, docs/PERF.md round 4).
 
     With `e_live` the budget subtracts the SpMM working set — at
     ogbn-products scale (V=2.45M) the (V, dim) f32 output/accumulator/
@@ -89,6 +95,8 @@ def auto_strip_cols(
     keeps every (V, dim) tensor except the scan accumulator in bf16 —
     that frees ~2.5 GB at products scale, which goes straight into strip
     width (the products speedup is strip-coverage-limited)."""
+    if s_cols is None:
+        s_cols = STRIP_COLS * 2 // strip_itemsize
     vp = -(-v // 128) * 128
     budget = STRIP_HBM_BUDGET
     if e_live is not None:
@@ -108,6 +116,39 @@ def auto_strip_cols(
     # buys twice the width at the same budget
     fit = int(max(budget, 0.0) // (vp * strip_itemsize)) // 128 * 128
     return max(min(s_cols, v, fit), 0)
+
+
+def strip_int8_exact(csr: CSRGraph) -> bool:
+    """True iff an int8 strip is EXACT for this graph: every live value
+    is an integer with |v| ≤ 127. True for every reference training
+    graph (uniform weight 1.0 + small dedup counts — `dataset_gen.py`
+    semantics). One jitted pass over E, two scalar fetches — never
+    downloads the values (device graphs at reddit scale are 0.5 GB
+    through a ~7 MB/s tunnel)."""
+
+    @jax.jit
+    def gate(indptr, values):
+        e = values.shape[0]
+        ar = jnp.arange(e, dtype=jnp.int32)
+        live = (ar < indptr[-1]) & (values != 0)
+        frac = jnp.where(live, jnp.abs(values - jnp.round(values)), 0.0).max()
+        mag = jnp.where(live, jnp.abs(values), 0.0).max()
+        return frac, mag
+
+    frac, mag = gate(csr.indptr, csr.values)
+    return float(frac) == 0.0 and float(mag) <= jnp.iinfo(jnp.int8).max
+
+
+def auto_strip_dtype(csr: CSRGraph):
+    """Production strip dtype: int8 where exact, bf16 otherwise.
+
+    The int8 strip costs nothing on MXU rate (XLA converts at matmul
+    read — measured 1.00×, docs/PERF.md int8 probe) but halves the
+    strip's bytes/column, so at an equal HBM budget the strip reaches
+    2× the width and absorbs tail edges that would otherwise ride the
+    12.8 ns/slot gather path. Adopted round 4 (measured on full reddit:
+    see docs/PERF.md round-4 table)."""
+    return jnp.int8 if strip_int8_exact(csr) else jnp.bfloat16
 
 
 def auto_tail_band_cols(v: int, s_cols: int) -> int:

@@ -340,3 +340,69 @@ def test_int8_strip_exact_on_integer_graph():
     s4 = auto_strip_cols(300_000, e_live=80_000_000, strip_itemsize=2,
                          s_cols=1 << 30)
     assert s2 >= 2 * s4 - 256
+
+
+def test_auto_strip_dtype_rule():
+    """Production dtype rule: int8 where exact (integer values within
+    int8 range), bf16 otherwise; equal-HBM default width doubles."""
+    import jax.numpy as jnp
+
+    from maxk_tpu.data.synthetic import rmat_graph
+    from maxk_tpu.sparse.hybrid import (
+        STRIP_COLS,
+        auto_strip_cols,
+        auto_strip_dtype,
+        strip_int8_exact,
+    )
+
+    g = rmat_graph(512, 4096, seed=3)  # integer-valued (1.0 + dedup)
+    assert strip_int8_exact(g)
+    assert auto_strip_dtype(g) == jnp.int8
+
+    frac = CSRGraph(
+        indptr=g.indptr, indices=g.indices, values=g.values * 0.5
+    )
+    assert not strip_int8_exact(frac)
+    assert auto_strip_dtype(frac) == jnp.bfloat16
+
+    big = CSRGraph(
+        indptr=g.indptr, indices=g.indices, values=g.values * 1000.0
+    )
+    assert not strip_int8_exact(big)
+
+    # equal-HBM default cap: int8 affords 2x the bf16 default width
+    # (budget not binding at this V)
+    s_int8 = auto_strip_cols(200_000, e_live=1_000_000, strip_itemsize=1)
+    s_bf16 = auto_strip_cols(200_000, e_live=1_000_000, strip_itemsize=2)
+    assert s_bf16 == STRIP_COLS
+    assert s_int8 == 2 * STRIP_COLS
+
+
+def test_build_graph_auto_int8_strip(small_graph):
+    """build_graph(hybrid=True) picks the int8 strip automatically on an
+    integer-valued graph and stays exact vs the bf16-strip build."""
+    import jax.numpy as jnp
+
+    from maxk_tpu.ops.spgemm import spmm
+    from maxk_tpu.sparse.graph import build_graph
+
+    g8 = build_graph(small_graph, norm="right", hybrid=True,
+                     strip_cols=128, build_tiles=False)
+    assert g8.hybrid is not None
+    assert g8.hybrid.strip.dtype == jnp.int8
+    gb = build_graph(small_graph, norm="right", hybrid=True,
+                     strip_cols=128, build_tiles=False,
+                     strip_dtype=jnp.float32)
+    assert gb.hybrid.strip.dtype == jnp.float32
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal(
+            (small_graph.num_nodes, 64)
+        ).astype(np.float32)
+    )
+    y8 = spmm(g8, x, mode="hybrid")
+    yf = spmm(gb, x, mode="hybrid")
+    # int8 strip holds the same exact integers; only the f32 vs int8
+    # read path differs -> results match to f32 rounding
+    np.testing.assert_allclose(
+        np.asarray(y8), np.asarray(yf), rtol=2e-2, atol=2e-2
+    )
