@@ -3,17 +3,23 @@
 The reference's headline training tables report, per dataset × model, the
 speed improvement and accuracy delta of MaxK (k swept over {2..128})
 against the ReLU baseline (`README.md:160-174`, BASELINE.md). This driver
-reproduces that protocol on the synthetic planted-partition datasets at a
-feature SNR low enough that the task does NOT saturate (calibrated:
-relu-SAGE lands ~0.86 at snr=0.15 on flickr-scale; round-1's snr=0.5
-reached 1.000 and discriminated nothing).
+reproduces that protocol on DC-SBM synthetic datasets (homophilous
+communities + power-law hubs — see `synthetic.dcsbm_graph` for why R-MAT
+cannot serve the accuracy axis) with per-dataset calibrated feature SNR
+and learning rate (`train.golden.ACC_PROTOCOL`) chosen so the relu
+CONTROL arm sits in a discriminative 0.3–0.95 band — a saturated task
+(r1: snr 0.5 → 1.000 everywhere) or a collapsed control (r4 probes:
+reddit relu 0.15 at the published lr) discriminates nothing.
+
+Three arms per (dataset, model): relu on the production kernel, relu on
+the library schedule (the reference's DGL-baseline role), and maxk_k*.
 
 Usage:
-  python -m maxk_tpu.bench.ksweep --datasets flickr --models sage \
-      --scale 0.05 --epochs 150 [--k 2 4 8 16 32 64 96 128]
+  python -m maxk_tpu.bench.ksweep --datasets flickr reddit yelp \
+      --models sage gcn --scale 0.1 --epochs 300 --json_out KSWEEP.json
 
-Emits ONE JSON line: per (dataset, model, arm) best val/test accuracy and
-mean epoch time, plus the relu reference arm.
+Emits per (dataset, model, arm) best val/test accuracy and mean epoch
+time, plus acc-delta and speedups vs both relu arms.
 """
 
 from __future__ import annotations
@@ -38,8 +44,15 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=150)
     p.add_argument("--hidden_dim", type=int, default=256)
     p.add_argument("--hidden_layers", type=int, default=3)
-    p.add_argument("--feat_snr", type=float, default=0.15)
-    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--feat_snr", type=float, default=0.0,
+                   help="0 = per-dataset calibrated value "
+                   "(train.golden.ACC_PROTOCOL)")
+    p.add_argument("--lr", type=float, default=0.0,
+                   help="0 = per-dataset calibrated value "
+                   "(train.golden.ACC_PROTOCOL)")
+    p.add_argument("--graph_kind", default="sbm",
+                   help="synthetic generator: sbm (accuracy protocol "
+                   "default — homophilous DC-SBM) or rmat")
     p.add_argument("--kernel_mode", default="auto")
     p.add_argument("--lib_mode", default="tiles_scan",
                    help="kernel mode of the relu_lib baseline arm (the "
@@ -77,7 +90,12 @@ def main(argv=None):
         log(f"resuming: {len(results)} completed arms in {args.json_out}")
     done = {(r["dataset"], r["model"], r["arm"]) for r in results}
 
+    from maxk_tpu.train.golden import ACC_PROTOCOL
+
     for ds in args.datasets:
+        proto = ACC_PROTOCOL.get(ds, {})
+        snr = args.feat_snr or proto.get("feat_snr", 0.15)
+        lr = args.lr or proto.get("lr", 0.001)
         data = None
         for model in args.models:
             # three arm kinds (reference protocol + one TPU-specific):
@@ -101,17 +119,19 @@ def main(argv=None):
                     continue
                 if data is None:
                     data = load_dataset(ds, scale=args.scale, seed=123,
-                                        feat_snr=args.feat_snr)
-                    log(f"{ds} x{args.scale}: V={data.csr.num_nodes} "
-                        f"E={data.csr.nnz} snr={args.feat_snr}")
+                                        feat_snr=snr,
+                                        graph_kind=args.graph_kind)
+                    log(f"{ds} x{args.scale} ({args.graph_kind}): "
+                        f"V={data.csr.num_nodes} E={data.csr.nnz} "
+                        f"snr={snr} lr={lr}")
                 cfg = TrainConfig(
                     dataset=ds, model=model, epochs=args.epochs,
-                    lr=args.lr, hidden_dim=args.hidden_dim,
+                    lr=lr, hidden_dim=args.hidden_dim,
                     hidden_layers=args.hidden_layers, nonlinear=nonlinear,
                     maxk=k, seed=args.seed, data_scale=args.scale,
                     kernel_mode=kmode,
                     compute_dtype=args.compute_dtype,
-                    feat_snr=args.feat_snr,
+                    feat_snr=snr,
                 )
                 state = train(cfg, data, logger=None, writer=None)
                 ms = (
@@ -166,7 +186,9 @@ def main(argv=None):
                 summary.append(row)
     doc = {
         "protocol": {
-            "feat_snr": args.feat_snr, "scale": args.scale,
+            "feat_snr": args.feat_snr or "per-dataset (ACC_PROTOCOL)",
+            "lr": args.lr or "per-dataset (ACC_PROTOCOL)",
+            "graph_kind": args.graph_kind, "scale": args.scale,
             "epochs": args.epochs, "hidden_dim": args.hidden_dim,
             "hidden_layers": args.hidden_layers, "seed": args.seed,
             "datasets": args.datasets, "models": args.models,

@@ -100,7 +100,11 @@ def main():
     )()
 
     t0 = time.time()
-    y = spmm_hybrid(h, x)
+    # MUST be jitted (as every production call site is): an EAGER int8-
+    # strip spmm_hybrid materializes the strip's bf16 copy (11.5 GB at
+    # s=24576) instead of fusing the convert into the matmul — measured
+    # OOM, .bench_r4/logs/probe_width.log
+    y = jax.jit(lambda h_, x_: spmm_hybrid(h_, x_))(h, x)
     s0 = float(jnp.sum(y[:8, :8]))
     log(f"hybrid first call ok ({time.time()-t0:.1f}s, checksum {s0:.4f})")
 
@@ -134,6 +138,13 @@ def main():
             ft = jax.jit(lambda tt, xx: spmm_tiles_scan(tt, xx))
             tt = timeit(ft, tiles, x)
             log(f"tiles_scan: {tt*1e3:.2f} ms  {live/tt/1e9:.3f} Gnnz/s")
+        # free the full-graph oracle tables before the timing arms (at
+        # s=32768 the strip + validation tiles together pin ~9.5 GB and
+        # the arm-breakdown section OOMs)
+        jax.tree.map(
+            lambda a: a.delete() if hasattr(a, "delete") else None,
+            (tiles, y),
+        )
 
     f = jax.jit(lambda hh, xx: spmm_hybrid(hh, xx))
     t = timeit(f, h, x)
@@ -162,7 +173,12 @@ def main():
     from maxk_tpu.ops.spmm_hybrid import _strip_operand
 
     s = h.s_cols
-    _, cdt = _strip_operand(h.strip)
+    # dtype only — calling _strip_operand EAGERLY on an int8 strip would
+    # materialize its full bf16 copy (11.5 GB at s=24576)
+    cdt = (
+        jnp.bfloat16
+        if jnp.issubdtype(h.strip.dtype, jnp.integer) else h.strip.dtype
+    )
     xc = x.astype(cdt)
     if h.padded_nodes != v:
         xc = jnp.pad(xc, ((0, h.padded_nodes - v), (0, 0)))

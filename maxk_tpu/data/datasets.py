@@ -69,8 +69,16 @@ def _data_dir() -> Optional[str]:
 
 
 def load_dataset(
-    name: str, scale: float = 1.0, seed: int = 123, feat_snr: float = 0.5
+    name: str,
+    scale: float = 1.0,
+    seed: int = 123,
+    feat_snr: float = 0.5,
+    graph_kind: str = "rmat",
 ) -> GraphData:
+    """`graph_kind` selects the synthetic generator (ignored for real
+    binaries): "rmat" (kernel benchmarks — degree profile is what
+    matters) or "sbm" (accuracy protocols — DC-SBM homophily makes
+    aggregation genuinely useful; see `synthetic.dcsbm_graph`)."""
     spec = DATASETS[name]
     d = _data_dir()
     prefix = os.path.join(d, name) if d else None
@@ -82,10 +90,21 @@ def load_dataset(
     else:
         v = max(int(spec.num_nodes * scale), 64)
         e = max(int(spec.num_edges * scale), 256)
-        csr = rmat_graph(v, e, seed=seed)
+        labels_init = None
+        if graph_kind == "sbm":
+            from maxk_tpu.data.synthetic import dcsbm_graph
+
+            csr, labels_init = dcsbm_graph(
+                v, e, spec.num_classes, seed=seed
+            )
+        elif graph_kind == "rmat":
+            csr = rmat_graph(v, e, seed=seed)
+        else:
+            raise ValueError(f"unknown graph_kind {graph_kind!r}")
         feats, labels, masks = planted_partition_data(
             csr, spec.feat_dim, spec.num_classes, seed=seed,
             multilabel=spec.multilabel, feat_snr=feat_snr,
+            labels_init=labels_init,
         )
         if name == "ogbn-proteins":
             # the proteins regime has EDGE features only; node features

@@ -53,11 +53,22 @@ from maxk_tpu.sparse.meta import (
 )
 
 STRIP_COLS = 16384  # default hub-strip width (probe-tuned for reddit)
+# int8-strip default width: measured optimum at full reddit (round 4,
+# .bench_r4/logs/probe_width.log): 24576 → 76.5 ms fwd vs 32768 → 86.0 ms
+# (the tail arm hits a ~43 ms floor below ~3M live edges, so widening
+# past 24576 only buys strip-matmul cost) vs 16384-equivalent → 101.9 ms.
+# bf16 cannot hold these widths at all (24576 bf16 = 11.5 GB > budget).
+STRIP_COLS_INT8 = 24576
 # tail tiles: the post-strip remainder is low-degree, so 256-edge tiles
 # waste ~2/3 of their slots as padding. Measured full-scale reddit tail
 # (5.2M live edges): T=256 → 12.7M slots/184 ms, T=128 → 9.0M/121 ms,
 # T=64 → 7.1M/91 ms (probe_hybrid)
 TAIL_EDGE_TILE = 64
+# the wide int8 strip shrinks the tail to ~1.4M live edges at reddit,
+# where the tile curve re-measures as T=16 → 47.4 ms, T=32 → 43.4,
+# T=64 → 44.6 (round 4, .bench_r4/logs/probe_tail2.log) — builders
+# default to T=32 for integer strips
+TAIL_EDGE_TILE_INT8 = 32
 
 # planning constants (measured, docs/PERF.md): the XLA gather wall and the
 # practical bf16 MXU rate on one v5e chip
@@ -78,11 +89,11 @@ def auto_strip_cols(
     """Strip width for a V-node graph: the default, shrunk to fit HBM,
     lane-aligned.
 
-    `s_cols=None` → the equal-HBM-budget default: the probe-tuned bf16
-    width (16384 at reddit) spends 32768 strip bytes per padded row, so
-    a narrower strip itemsize affords proportionally more columns at the
-    same budget (int8 → 32768 — measured on full reddit to convert
-    ~3.8M tail slots into near-free MXU columns, docs/PERF.md round 4).
+    `s_cols=None` → the measured production default per strip itemsize:
+    16384 for bf16 (round-2 probe), 24576 for int8 (round-4 width curve
+    at full reddit: 76.5 ms fwd vs 85.95 at 32768 and 101.9 at the bf16
+    16384 production point — see STRIP_COLS_INT8 note and
+    docs/PERF.md round-4 table).
 
     With `e_live` the budget subtracts the SpMM working set — at
     ogbn-products scale (V=2.45M) the (V, dim) f32 output/accumulator/
@@ -96,7 +107,7 @@ def auto_strip_cols(
     that frees ~2.5 GB at products scale, which goes straight into strip
     width (the products speedup is strip-coverage-limited)."""
     if s_cols is None:
-        s_cols = STRIP_COLS * 2 // strip_itemsize
+        s_cols = STRIP_COLS_INT8 if strip_itemsize == 1 else STRIP_COLS
     vp = -(-v // 128) * 128
     budget = STRIP_HBM_BUDGET
     if e_live is not None:
@@ -359,14 +370,22 @@ def build_hybrid(
     norm: str = "none",
     strip_dtype=jnp.bfloat16,
     row_block: int = ROW_BLOCK,
-    edge_tile: int = TAIL_EDGE_TILE,
+    edge_tile: Optional[int] = None,
     tail_chunk: int = 256,
     tail_band_cols: int = 0,
 ) -> HybridSchedule:
     """Host (numpy) build. `csr` must already be degree-permuted
     (`permute_csr(csr, degree_perm(csr))`) and RAW-value-symmetric; `norm`
     only sets the diagonal scales. `tail_band_cols` > 0 splits the tail
-    into column bands of that width (see HybridSchedule.tail_bands)."""
+    into column bands of that width (see HybridSchedule.tail_bands).
+    `edge_tile=None` → the measured default for the strip dtype
+    (TAIL_EDGE_TILE / TAIL_EDGE_TILE_INT8)."""
+    if edge_tile is None:
+        edge_tile = (
+            TAIL_EDGE_TILE_INT8
+            if jnp.issubdtype(jnp.dtype(strip_dtype), jnp.integer)
+            else TAIL_EDGE_TILE
+        )
     indptr = np.asarray(csr.indptr, dtype=np.int64)
     nnz = int(indptr[-1])
     v = csr.num_nodes
@@ -511,12 +530,18 @@ def build_hybrid_device(
     norm: str = "none",
     strip_dtype=jnp.bfloat16,
     row_block: int = ROW_BLOCK,
-    edge_tile: int = TAIL_EDGE_TILE,
+    edge_tile: Optional[int] = None,
     tail_chunk: int = 256,
     tail_band_cols: int = 0,
 ) -> HybridSchedule:
     """On-device build (jit; one-time per graph). Same semantics as
     `build_hybrid`."""
+    if edge_tile is None:
+        edge_tile = (
+            TAIL_EDGE_TILE_INT8
+            if jnp.issubdtype(jnp.dtype(strip_dtype), jnp.integer)
+            else TAIL_EDGE_TILE
+        )
     v = csr.num_nodes
     s = min(s_cols, v)
     s = max(128, (s // 128) * 128) if v >= 128 else v

@@ -92,12 +92,14 @@ def test_ksweep_tiny(capsys):
             "--kernel_mode", "segsum",
         ]
     )
-    assert {r["arm"] for r in results} == {"relu", "maxk_k4"}
+    assert {r["arm"] for r in results} == {"relu", "relu_lib", "maxk_k4"}
     line = capsys.readouterr().out.strip().splitlines()[-1]
     payload = json.loads(line)
-    assert payload["protocol"]["feat_snr"] == 0.15
+    assert payload["protocol"]["graph_kind"] == "sbm"
+    assert payload["protocol"]["feat_snr"] == "per-dataset (ACC_PROTOCOL)"
     assert payload["vs_relu"][0]["arm"] == "maxk_k4"
     assert "acc_delta" in payload["vs_relu"][0]
+    assert "speedup_vs_lib_pct" in payload["vs_relu"][0]
 
 
 def test_plots_from_bench(tmp_path):

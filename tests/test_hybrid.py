@@ -250,14 +250,20 @@ def test_effective_band_cap():
 
 def test_build_graph_hybrid_keeps_tail_tile_shape():
     """build_graph's dense-path edge_tile (256) must NOT leak into the
-    hybrid tail schedule (tuned to TAIL_EDGE_TILE)."""
-    from maxk_tpu.sparse.hybrid import TAIL_EDGE_TILE
+    hybrid tail schedule (tuned per strip dtype: TAIL_EDGE_TILE_INT8 for
+    the auto-picked int8 strip on this integer-valued graph,
+    TAIL_EDGE_TILE for float strips)."""
+    from maxk_tpu.sparse.hybrid import TAIL_EDGE_TILE, TAIL_EDGE_TILE_INT8
 
     csr = _graph(seed=31)
     g = build_graph(csr, norm="right", hybrid=True, strip_cols=S,
                     edge_tile=256)
     assert g.hybrid is not None
-    assert g.hybrid.tail_tiles.edge_tile == TAIL_EDGE_TILE
+    assert g.hybrid.strip.dtype == jnp.int8  # auto-picked (integer graph)
+    assert g.hybrid.tail_tiles.edge_tile == TAIL_EDGE_TILE_INT8
+    gf = build_graph(csr, norm="right", hybrid=True, strip_cols=S,
+                     edge_tile=256, strip_dtype=jnp.bfloat16)
+    assert gf.hybrid.tail_tiles.edge_tile == TAIL_EDGE_TILE
 
 
 def test_tail_slot_stats_match_built_schedule():
@@ -370,12 +376,13 @@ def test_auto_strip_dtype_rule():
     )
     assert not strip_int8_exact(big)
 
-    # equal-HBM default cap: int8 affords 2x the bf16 default width
-    # (budget not binding at this V)
+    # measured per-dtype default widths (budget not binding at this V)
+    from maxk_tpu.sparse.hybrid import STRIP_COLS_INT8
+
     s_int8 = auto_strip_cols(200_000, e_live=1_000_000, strip_itemsize=1)
     s_bf16 = auto_strip_cols(200_000, e_live=1_000_000, strip_itemsize=2)
     assert s_bf16 == STRIP_COLS
-    assert s_int8 == 2 * STRIP_COLS
+    assert s_int8 == STRIP_COLS_INT8
 
 
 def test_build_graph_auto_int8_strip(small_graph):
