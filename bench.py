@@ -148,11 +148,16 @@ def main():
     if mode == "auto":
         # the production dispatch rule, resolved per graph: strip hybrid
         # where its matmuls beat the gather wall, tiles elsewhere
-        from maxk_tpu.sparse.hybrid import hybrid_profitable
+        from maxk_tpu.sparse.hybrid import hybrid_profitable, strip_int8_exact
 
         if on_tpu:
-            mode = "hybrid" if hybrid_profitable(v, e_real, args.dim) \
-                else "tiles_scan"
+            # same itemsize rule as kernel_bench (ADVICE r4): the
+            # decision must see the int8-strip width the builder gets
+            profitable = hybrid_profitable(
+                v, e_real, args.dim,
+                strip_itemsize=1 if strip_int8_exact(g) else 2,
+            )
+            mode = "hybrid" if profitable else "tiles_scan"
         else:
             mode = "segsum"
     log(f"backend={backend} mode={mode} scale={scale} "

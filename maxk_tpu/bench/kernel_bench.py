@@ -466,9 +466,12 @@ def main(argv=None):
                 "speedup_vs_baseline": t_base / t_fwd,
                 # single-chip k benefit (DESIGN.md thesis): the CBSR
                 # backward emits the compact (V, k) gradient vs the
-                # masked path's (V, dim) cotangent-sized one
-                "bwd_grad_bytes_cbsr": v * k * 4,
-                "bwd_grad_bytes_masked": v * args.dim * 4,
+                # masked path's (V, dim) cotangent-sized one — sized at
+                # each arm's ACTUAL value dtype (ADVICE r4: the f32
+                # hardcode overstated the io2 CBSR grad bytes 2×)
+                "bwd_grad_bytes_cbsr": v * k * jnp.dtype(val_dtype).itemsize,
+                "bwd_grad_bytes_masked": v * args.dim * 2,  # xm is bf16
+                "cbsr_val_dtype": jnp.dtype(val_dtype).name,
                 "mask_dtype": jnp.dtype(mask_dtype).name,
             }
             if mode == "hybrid":

@@ -77,6 +77,19 @@ def main(argv=None):
     from maxk_tpu.train.config import TrainConfig
     from maxk_tpu.train.loop import train
 
+    # protocol fields that make two runs' records comparable: a resume
+    # against a file measured under a different one of THESE silently
+    # mixes incomparable arms into one artifact (ADVICE r4 #5). The
+    # dataset/model lists are deliberately excluded — adding a dataset
+    # to a sweep does not invalidate the arms already measured.
+    core_protocol = {
+        "scale": args.scale, "epochs": args.epochs,
+        "hidden_dim": args.hidden_dim, "hidden_layers": args.hidden_layers,
+        "seed": args.seed, "graph_kind": args.graph_kind,
+        "kernel_mode": args.kernel_mode, "lib_mode": args.lib_mode,
+        "compute_dtype": args.compute_dtype,
+    }
+
     # re-entrant: resume from an existing json_out (the r3 campaign died
     # mid-run with nothing to resume from — per-arm done-state lives in
     # the artifact itself, so a wedge costs the current arm, not the sweep)
@@ -84,11 +97,27 @@ def main(argv=None):
     if args.json_out and os.path.exists(args.json_out):
         with open(args.json_out) as f:
             prev = json.load(f)
-        # partial runs persist a bare list; a finished run persists the
-        # full doc — resume from either
-        results = prev["results"] if isinstance(prev, dict) else prev
+        # partial runs persist {"core_protocol", "results"}; a finished
+        # run persists the full doc; legacy partials were a bare list —
+        # resume from any, but refuse a core-protocol mismatch
+        if isinstance(prev, dict):
+            results = prev["results"]
+            prev_core = prev.get("core_protocol")
+            if prev_core is not None and prev_core != core_protocol:
+                diff = {
+                    k2: (prev_core.get(k2), core_protocol.get(k2))
+                    for k2 in set(prev_core) | set(core_protocol)
+                    if prev_core.get(k2) != core_protocol.get(k2)
+                }
+                log(f"REFUSING resume: {args.json_out} was measured "
+                    f"under a different core protocol: {diff}. "
+                    f"Move it aside or rerun with matching args.")
+                sys.exit(2)
+        else:
+            results = prev
+            log("legacy bare-list resume: core protocol unverifiable "
+                "(pre-r5 partial) — records assumed in-protocol")
         log(f"resuming: {len(results)} completed arms in {args.json_out}")
-    done = {(r["dataset"], r["model"], r["arm"]) for r in results}
 
     from maxk_tpu.train.golden import ACC_PROTOCOL
 
@@ -96,6 +125,22 @@ def main(argv=None):
         proto = ACC_PROTOCOL.get(ds, {})
         snr = args.feat_snr or proto.get("feat_snr", 0.15)
         lr = args.lr or proto.get("lr", 0.001)
+        # skip an arm only if its record matches the CURRENT resolved
+        # per-dataset (snr, lr): recalibrating ACC_PROTOCOL re-runs
+        # exactly the recalibrated dataset's arms on resume. Legacy
+        # records (no snr/lr fields) are assumed in-protocol.
+        stale = [
+            r for r in results if r["dataset"] == ds
+            and not (
+                abs(r.get("feat_snr", snr) - snr) < 1e-12
+                and abs(r.get("lr", lr) - lr) < 1e-12
+            )
+        ]
+        if stale:
+            log(f"{ds}: {len(stale)} records measured at a superseded "
+                f"(feat_snr, lr) — dropped for re-run at ({snr}, {lr})")
+            results = [r for r in results if r not in stale]
+        done = {(r["dataset"], r["model"], r["arm"]) for r in results}
         data = None
         for model in args.models:
             # three arm kinds (reference protocol + one TPU-specific):
@@ -143,15 +188,21 @@ def main(argv=None):
                     "best_val": round(state.best_val, 4),
                     "best_test": round(state.best_test, 4),
                     "epoch_ms": round(ms, 2),
+                    # resolved per-dataset protocol, recorded per arm so
+                    # resume can tell an in-protocol record from a
+                    # superseded one (ADVICE r4 #5)
+                    "feat_snr": snr, "lr": lr,
                 }
                 results.append(rec)
+                done.add((ds, model, arm))
                 log(f"  {model}/{arm}: val {rec['best_val']} "
                     f"test {rec['best_test']} {ms:.1f} ms/ep")
                 if args.json_out:
                     # persist after EVERY arm: a tunnel wedge + timeout
                     # kill must not lose completed measurements
                     with open(args.json_out, "w") as f:
-                        json.dump(results, f, indent=1)
+                        json.dump({"core_protocol": core_protocol,
+                                   "results": results}, f, indent=1)
 
     # per (dataset, model): accuracy delta + speedup vs the relu arm,
     # the two columns of the reference's plotgnn tables
@@ -185,6 +236,7 @@ def main(argv=None):
                         / max(lib["epoch_ms"], 1e-9), 1)
                 summary.append(row)
     doc = {
+        "core_protocol": core_protocol,
         "protocol": {
             "feat_snr": args.feat_snr or "per-dataset (ACC_PROTOCOL)",
             "lr": args.lr or "per-dataset (ACC_PROTOCOL)",

@@ -34,9 +34,14 @@ _COLLECTIVES = (
 
 # `%op.N = <result shapes> <collective-op>(...)`; the result section may
 # be one shape (`f32[512,4]{1,0}`) or a tuple when XLA's combiner merged
-# several operands (`(f32[512,4], s32[512,4])`)
+# several operands (`(f32[512,4], s32[512,4])`). TPU compilation often
+# splits a collective into `-start`/`-done` pairs (async); count the
+# `-start` (it carries the result shape) and ignore the `-done`
+# (ADVICE r4 — the sync-only regex silently missed every async form).
 _OP_RE = re.compile(
-    r"=\s+(?P<res>[^=]*?)\s+(?P<op>" + "|".join(_COLLECTIVES) + r")\("
+    r"=\s+(?P<res>[^=]*?)\s+(?P<op>"
+    + "|".join(_COLLECTIVES)
+    + r")(?P<async>-start)?\("
 )
 _SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
 
@@ -50,9 +55,18 @@ def hlo_collectives(compiled_text: str) -> List[Tuple[str, str, tuple, int]]:
     out = []
     for m in _OP_RE.finditer(compiled_text):
         op = m.group("op")
-        for dtype, dims in _SHAPE_RE.findall(m.group("res")):
-            if dtype not in _ITEMSIZE:
-                continue  # e.g. a token
+        shapes = [
+            (dtype, dims)
+            for dtype, dims in _SHAPE_RE.findall(m.group("res"))
+            if dtype in _ITEMSIZE  # drop tokens / layout annotations
+        ]
+        if m.group("async") and op in ("all-gather", "collective-permute") \
+                and len(shapes) >= 2:
+            # async `-start` of these ops returns an (input, output, ...)
+            # buffer tuple — only the OUTPUT is the collective's result;
+            # counting the operand too would double the audited bytes
+            shapes = shapes[1:2]
+        for dtype, dims in shapes:
             shape = tuple(int(x) for x in dims.split(",") if x)
             n_elem = 1
             for s in shape:

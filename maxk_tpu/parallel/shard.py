@@ -198,9 +198,9 @@ def build_sharded_hybrid(
     num_shards: int,
     s_cols: Optional[int] = None,
     norm: str = "none",
-    strip_dtype=jnp.bfloat16,
+    strip_dtype=None,  # None → production rule (int8 where exact)
     row_block: int = 8,
-    edge_tile: int = 64,
+    edge_tile: Optional[int] = None,  # None → per-dtype production tile
     tail_chunk: int = 256,
     dim: int = 256,
 ) -> ShardedHybrid:
@@ -214,7 +214,24 @@ def build_sharded_hybrid(
     """
     import scipy.sparse as sp
 
-    from maxk_tpu.sparse.hybrid import _scales, auto_strip_cols
+    from maxk_tpu.sparse.hybrid import (
+        TAIL_EDGE_TILE,
+        TAIL_EDGE_TILE_INT8,
+        _scales,
+        auto_strip_cols,
+        auto_strip_dtype,
+    )
+
+    if strip_dtype is None:
+        # same production rule as the single-chip builder (ADVICE r4):
+        # int8 where exact buys 2× the width at the same per-chip HBM
+        strip_dtype = auto_strip_dtype(csr)
+    strip_itemsize = jnp.dtype(strip_dtype).itemsize
+    if edge_tile is None:
+        # per-dtype production tail tile (hybrid.py round-4 curve)
+        edge_tile = (
+            TAIL_EDGE_TILE_INT8 if strip_itemsize == 1 else TAIL_EDGE_TILE
+        )
 
     v = csr.num_nodes
     vs = -(-v // num_shards)
@@ -223,10 +240,12 @@ def build_sharded_hybrid(
     # per-chip HBM fit is computed over V/n rows while the width cap
     # stays bounded by the full V
     if s_cols is None:
-        from maxk_tpu.sparse.hybrid import STRIP_COLS
+        from maxk_tpu.sparse.hybrid import STRIP_COLS, STRIP_COLS_INT8
 
+        cap = STRIP_COLS_INT8 if strip_itemsize == 1 else STRIP_COLS
         s = auto_strip_cols(
-            -(-v // max(num_shards, 1)), s_cols=min(STRIP_COLS, v), dim=dim
+            -(-v // max(num_shards, 1)), s_cols=min(cap, v), dim=dim,
+            strip_itemsize=strip_itemsize,
         )
     else:
         s = s_cols
@@ -292,8 +311,8 @@ def build_sharded_graph(
     edge_tile: int = 256,
     hybrid: bool = False,
     strip_cols: Optional[int] = None,
-    tail_edge_tile: int = 64,
-    strip_dtype=jnp.bfloat16,
+    tail_edge_tile: Optional[int] = None,  # None → per-dtype production tile
+    strip_dtype=None,  # None → production rule (int8 where exact)
     dim: int = 256,
 ) -> ShardedGraph:
     """Host-side partition of a (normalized) CSR over `num_shards` devices.

@@ -145,11 +145,15 @@ def sharded_setup(
     # permutation (and matching node-data permutation) happens here.
     want_hybrid = cfg.kernel_mode == "hybrid"
     if cfg.kernel_mode == "auto" and jax.default_backend() == "tpu":
-        from maxk_tpu.sparse.hybrid import hybrid_profitable
+        from maxk_tpu.sparse.hybrid import hybrid_profitable, strip_int8_exact
 
         e_live = int(np.asarray(data.csr.indptr[-1]))
+        # same itemsize rule as the single-device setup (ADVICE r4):
+        # the decision must see the widths the sharded builder gets
         want_hybrid = hybrid_profitable(
-            data.csr.num_nodes, e_live, dim=cfg.hidden_dim
+            data.csr.num_nodes, e_live, dim=cfg.hidden_dim,
+            io_itemsize=2 if cfg.compute_dtype == "bfloat16" else 4,
+            strip_itemsize=1 if strip_int8_exact(data.csr) else 2,
         )
     csr = data.csr
     if want_hybrid:

@@ -82,11 +82,17 @@ def setup(cfg: TrainConfig, data: GraphData) -> TrainState:
     )
     want_hybrid = cfg.kernel_mode == "hybrid"
     if cfg.kernel_mode == "auto" and jax.default_backend() == "tpu":
-        from maxk_tpu.sparse.hybrid import hybrid_profitable
+        from maxk_tpu.sparse.hybrid import hybrid_profitable, strip_int8_exact
 
         e_live = int(np.asarray(data.csr.indptr[-1]))
+        # the dispatch decision must see the SAME widths the builder
+        # gets (ADVICE r4): build_graph auto-picks an int8 strip where
+        # exact (2x width at equal HBM), and bf16 compute halves the IO
+        # buffers — both flip profitability on HBM-limited graphs
         want_hybrid = hybrid_profitable(
-            data.csr.num_nodes, e_live, dim=cfg.hidden_dim
+            data.csr.num_nodes, e_live, dim=cfg.hidden_dim,
+            io_itemsize=2 if cfg.compute_dtype == "bfloat16" else 4,
+            strip_itemsize=1 if strip_int8_exact(data.csr) else 2,
         )
     build_tiles = cfg.kernel_mode in ("auto", "pallas", "tiles_xla", "tiles_scan")
     graph = build_graph(
