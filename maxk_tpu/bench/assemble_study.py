@@ -6,8 +6,8 @@ the committed artifact with a per-(graph, sparsity) winner table — the
 analog of the reference study's cross-strategy comparison rows
 (`spgemm_comparison_test_2.cu:348-409`).
 
-Usage: python -m maxk_tpu.bench.assemble_study --dir /tmp/study_r2 \
-           --out SPGEMM_STUDY_r2.json --note "..."
+Usage: python -m maxk_tpu.bench.assemble_study --dir /tmp/study \
+           --out SPGEMM_STUDY.json --note "..."
 """
 
 from __future__ import annotations

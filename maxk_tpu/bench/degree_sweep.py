@@ -15,7 +15,7 @@ must cost its timeout, not the sweep. Per-graph JSONs accumulate in
 --dir; the final artifact is assembled with the avg-degree-50 split.
 
 Usage:
-  python -m maxk_tpu.bench.degree_sweep --out DEGREE_SWEEP_r3.json
+  python -m maxk_tpu.bench.degree_sweep --out DEGREE_SWEEP.json
 """
 
 from __future__ import annotations

@@ -61,6 +61,11 @@ def tiny_data():
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "tpu: requires a real TPU device")
+    config.addinivalue_line(
+        "markers",
+        "golden: full-training accuracy floors (slow; in the default "
+        "suite per VERDICT r4 #5 — deselect with -m 'not golden')",
+    )
 
 
 def pytest_collection_modifyitems(config, items):
