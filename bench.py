@@ -228,6 +228,24 @@ def main():
     t_fwd = timeit(fwd, graph, cbsr, iters=8)
     log(f"maxk fwd k={k}: {t_fwd*1e3:.3f} ms -> {e_real/t_fwd/1e9:.3f} Gnnz/s")
 
+    # component split (r4 verdict weak #2): maxk_spgemm = densify(CBSR)
+    # + SpMM-with-norm-scales; the raw-hybrid probe (docs/PERF.md r4
+    # table) times only the SpMM on pre-materialized bf16 features, so
+    # the probe-vs-driver gap must equal t_densify + scale overhead —
+    # measured here so the record explains its own headline
+    densify_f = jax.jit(lambda c: cbsr_densify(c, dim).astype(jnp.bfloat16))
+    t_densify = timeit(densify_f, cbsr, iters=8)
+    xb = densify_f(cbsr)
+    spmm_only = jax.jit(lambda g_, x: spmm(g_, x, mode=mode))
+    t_spmm = timeit(spmm_only, graph, xb, iters=8)
+    log(
+        f"components: densify {t_densify*1e3:.3f} + spmm(normed) "
+        f"{t_spmm*1e3:.3f} = {(t_densify+t_spmm)*1e3:.3f} ms "
+        f"vs maxk_spgemm {t_fwd*1e3:.3f} ms"
+    )
+    if hasattr(xb, "delete"):
+        xb.delete()
+
     baseline = jax.jit(lambda g_, x: spmm(g_, x, mode=base_mode))
     t_base = timeit(baseline, graph, x_dense, iters=8)
     log(f"dense f32 baseline ({base_mode}): {t_base*1e3:.3f} ms "
