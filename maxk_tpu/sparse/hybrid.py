@@ -257,13 +257,25 @@ def tail_slot_stats(
     else:
         key = blk
         n_bands = 1
-    _, counts = np.unique(key, return_counts=True)
-    tiles = int(np.ceil(counts / edge_tile).sum())
+    from maxk_tpu.sparse.meta import _round_tiles
+
+    keys, counts = np.unique(key, return_counts=True)
     if band_cols <= 0:
+        tiles = int(np.ceil(counts / edge_tile).sum())
         # the single-band builder emits one all-padding tile per EMPTY
         # row block (build_edge_tiles elide_empty=False); only the
         # banded path elides empty (block, band) cells
         tiles += -(-v // row_block) - len(counts)
+        # build-time chunk-multiple rounding (meta.TILE_PAD)
+        tiles = _round_tiles(tiles)
+    else:
+        # each band is its own EdgeTiles, rounded independently
+        band_of = keys % np.int64(1 << 20)
+        per_cell = np.ceil(counts / edge_tile).astype(np.int64)
+        tiles = sum(
+            _round_tiles(int(per_cell[band_of == b].sum()))
+            for b in np.unique(band_of)
+        )
     slots = tiles * edge_tile
     return {
         "s_cols": s_cols,

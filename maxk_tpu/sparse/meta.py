@@ -38,6 +38,22 @@ from maxk_tpu.sparse.csr import CSRGraph, rows_from_indptr
 ROW_BLOCK = 8
 EDGE_TILE = 256
 
+# tile tables are padded (with inert tiles aliasing the LAST real block:
+# zero values accumulate nothing, and the block id preserves every
+# aligned-chunk span, so tuned scan windows stay valid) to a multiple of
+# this at BUILD time. The scan paths reshape tables into
+# (n_chunks, chunk, T); when the tile count isn't a chunk multiple, XLA
+# pads+copies ALL tables as HLO temps EVERY call — measured by the
+# products AOT memory probe at 3.8 GB of temp + copy bandwidth
+# (.bench_r5/logs/probe_mem.log: pad.6/pad.8/pad.10 = 2×1.52G s32 +
+# 0.77G bf16), the difference between products fitting and OOMing.
+# 512 covers both production chunk sizes (256, 512).
+TILE_PAD = 512
+
+
+def _round_tiles(nt: int) -> int:
+    return max(-(-nt // TILE_PAD) * TILE_PAD, TILE_PAD)
+
 
 @struct.dataclass
 class EdgeTiles:
@@ -101,6 +117,13 @@ def build_edge_tiles(
     )
     if native is not None:
         tb, tc, tv, tl = native
+        ntp = _round_tiles(tb.shape[0])
+        if ntp != tb.shape[0]:
+            pad = ntp - tb.shape[0]
+            tb = np.pad(tb, (0, pad), mode="edge")
+            tc = np.pad(tc, ((0, pad), (0, 0)))
+            tv = np.pad(tv, ((0, pad), (0, 0)))
+            tl = np.pad(tl, ((0, pad), (0, 0)))
         return EdgeTiles(
             block=jnp.asarray(tb),
             cols=jnp.asarray(tc),
@@ -147,11 +170,19 @@ def build_edge_tiles(
     edge_row = np.repeat(np.arange(nb * row_block), deg)
     flat_lrow[dest] = (edge_row - edge_block * row_block).astype(np.int32)
 
+    ntp = _round_tiles(nt)
+    pad = ntp - nt
     return EdgeTiles(
-        block=jnp.asarray(tile_block),
-        cols=jnp.asarray(flat_cols.reshape(nt, edge_tile)),
-        vals=jnp.asarray(flat_vals.reshape(nt, edge_tile)),
-        localrow=jnp.asarray(flat_lrow.reshape(nt, edge_tile)),
+        block=jnp.asarray(np.pad(tile_block, (0, pad), mode="edge")),
+        cols=jnp.asarray(
+            np.pad(flat_cols.reshape(nt, edge_tile), ((0, pad), (0, 0)))
+        ),
+        vals=jnp.asarray(
+            np.pad(flat_vals.reshape(nt, edge_tile), ((0, pad), (0, 0)))
+        ),
+        localrow=jnp.asarray(
+            np.pad(flat_lrow.reshape(nt, edge_tile), ((0, pad), (0, 0)))
+        ),
         row_block=row_block,
         num_row_blocks=nb,
         num_nodes=v,
@@ -218,7 +249,11 @@ def build_edge_tiles_device(
         per = -(-counts // edge_tile)
         return jnp.sum(per if elide else jnp.maximum(per, 1))
 
-    nt = max(int(np.asarray(exact_nt(g.indptr, elide_empty))), 1)
+    # rounded to the build-time pad multiple: surplus tiles alias the
+    # LAST block (jnp.repeat total_repeat_length pads with the final
+    # value) with valid=False → zero cols/vals — the scan reshape to
+    # (n_chunks, chunk, T) then needs no in-graph pad+copy of the tables
+    nt = _round_tiles(int(np.asarray(exact_nt(g.indptr, elide_empty))))
 
     @jax.jit
     def build(indptr, cols, vals):
