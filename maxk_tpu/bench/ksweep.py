@@ -125,20 +125,23 @@ def main(argv=None):
         proto = ACC_PROTOCOL.get(ds, {})
         snr = args.feat_snr or proto.get("feat_snr", 0.15)
         lr = args.lr or proto.get("lr", 0.001)
+        p_intra = proto.get("p_intra", 0.8)
         # skip an arm only if its record matches the CURRENT resolved
-        # per-dataset (snr, lr): recalibrating ACC_PROTOCOL re-runs
-        # exactly the recalibrated dataset's arms on resume. Legacy
-        # records (no snr/lr fields) are assumed in-protocol.
+        # per-dataset (snr, lr, p_intra): recalibrating ACC_PROTOCOL
+        # re-runs exactly the recalibrated dataset's arms on resume.
+        # Legacy records (no protocol fields) are assumed in-protocol.
         stale = [
             r for r in results if r["dataset"] == ds
             and not (
                 abs(r.get("feat_snr", snr) - snr) < 1e-12
                 and abs(r.get("lr", lr) - lr) < 1e-12
+                and abs(r.get("p_intra", p_intra) - p_intra) < 1e-12
             )
         ]
         if stale:
             log(f"{ds}: {len(stale)} records measured at a superseded "
-                f"(feat_snr, lr) — dropped for re-run at ({snr}, {lr})")
+                f"(feat_snr, lr, p_intra) — dropped for re-run at "
+                f"({snr}, {lr}, {p_intra})")
             results = [r for r in results if r not in stale]
         done = {(r["dataset"], r["model"], r["arm"]) for r in results}
         data = None
@@ -165,10 +168,11 @@ def main(argv=None):
                 if data is None:
                     data = load_dataset(ds, scale=args.scale, seed=123,
                                         feat_snr=snr,
-                                        graph_kind=args.graph_kind)
+                                        graph_kind=args.graph_kind,
+                                        sbm_p_intra=p_intra)
                     log(f"{ds} x{args.scale} ({args.graph_kind}): "
                         f"V={data.csr.num_nodes} E={data.csr.nnz} "
-                        f"snr={snr} lr={lr}")
+                        f"snr={snr} lr={lr} p_intra={p_intra}")
                 cfg = TrainConfig(
                     dataset=ds, model=model, epochs=args.epochs,
                     lr=lr, hidden_dim=args.hidden_dim,
@@ -191,7 +195,7 @@ def main(argv=None):
                     # resolved per-dataset protocol, recorded per arm so
                     # resume can tell an in-protocol record from a
                     # superseded one (ADVICE r4 #5)
-                    "feat_snr": snr, "lr": lr,
+                    "feat_snr": snr, "lr": lr, "p_intra": p_intra,
                 }
                 results.append(rec)
                 done.add((ds, model, arm))

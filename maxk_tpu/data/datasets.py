@@ -74,11 +74,20 @@ def load_dataset(
     seed: int = 123,
     feat_snr: float = 0.5,
     graph_kind: str = "rmat",
+    sbm_p_intra: float = 0.8,
 ) -> GraphData:
     """`graph_kind` selects the synthetic generator (ignored for real
     binaries): "rmat" (kernel benchmarks — degree profile is what
     matters) or "sbm" (accuracy protocols — DC-SBM homophily makes
-    aggregation genuinely useful; see `synthetic.dcsbm_graph`)."""
+    aggregation genuinely useful; see `synthetic.dcsbm_graph`).
+
+    `sbm_p_intra` is the DC-SBM homophily (intra-community edge
+    fraction). It is the difficulty knob the accuracy protocol
+    calibrates on DENSE datasets: at reddit's avg degree (~494)
+    aggregation over an 0.8-homophilous neighborhood denoises any
+    feat_snr (measured: relu best_val 0.9985 even at snr=0.02), so the
+    relu control can only be brought into the discriminative band by
+    weakening the structure itself (train.golden.ACC_PROTOCOL)."""
     spec = DATASETS[name]
     d = _data_dir()
     prefix = os.path.join(d, name) if d else None
@@ -95,7 +104,7 @@ def load_dataset(
             from maxk_tpu.data.synthetic import dcsbm_graph
 
             csr, labels_init = dcsbm_graph(
-                v, e, spec.num_classes, seed=seed
+                v, e, spec.num_classes, p_intra=sbm_p_intra, seed=seed
             )
         elif graph_kind == "rmat":
             csr = rmat_graph(v, e, seed=seed)

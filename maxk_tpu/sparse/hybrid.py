@@ -170,8 +170,14 @@ def auto_tail_band_cols(v: int, s_cols: int) -> int:
     band_cols=65536 and 125.0 ms at 32768 — the extra slot padding
     (8.5M/11.0M vs 6.3M slots) costs more than the ≤64K-window gather
     locality recovers. Banding only won at the non-production T=256
-    tile (135 vs 172 ms), where padding per tile is 4× larger. See
-    docs/PERF.md round-3 table; flipped by measurement, not theory.
+    tile (135 vs 172 ms), where padding per tile is 4× larger.
+
+    Re-measured round 5 at the NEW production point (int8 s=24576,
+    T=32, .bench_r5/logs/probe_tail3_b*.log): unbanded 73.9 ms vs
+    103.4 (band 32768) and 247.2 (band 16384) — rejected even harder;
+    at T=32 the shrunken tail (2.8M live edges) splits into mostly-
+    padding per-band tiles. See docs/PERF.md; flipped by measurement,
+    not theory.
     """
     return 0
 

@@ -51,13 +51,22 @@ class GoldenConfig:
 
 
 # the accuracy-axis protocol, shared with bench/ksweep: per-dataset
-# feat_snr calibrated so the relu CONTROL lands in a discriminative band
-# (0.3–0.95) on the DC-SBM graph at protocol scale, and lr (published
-# except reddit — see module docstring). Both golden and ksweep read
-# this so the two artifacts measure the same task.
+# (feat_snr, lr, and optionally the DC-SBM homophily p_intra) calibrated
+# so the relu CONTROL lands in a discriminative band (0.3–0.95) on the
+# DC-SBM graph at protocol scale. Both golden and ksweep read this so
+# the two artifacts measure the same task.
+#
+# reddit needs the p_intra knob: at its density (avg degree ~494 at
+# protocol scale) aggregation over an 0.8-homophilous neighborhood
+# denoises ANY feature snr (r5 probes: relu 0.9994 at snr=0.05, 0.9985
+# at 0.02) — the r4 sweep's saturated reddit control (verdict weak #4)
+# could not be fixed by snr alone; the structure itself must weaken.
+# Reddit's (feat_snr, p_intra) pending the .bench_r5/recal_tpu.py grid
+# (logs/recal_grid.log); until it lands the r4 values stand and the
+# reddit control is KNOWN saturated.
 ACC_PROTOCOL = {
     "flickr": {"feat_snr": 0.15, "lr": 0.001},
-    "reddit": {"feat_snr": 0.15, "lr": 0.001},  # published .01: relu diverges
+    "reddit": {"feat_snr": 0.15, "lr": 0.001},
     "yelp": {"feat_snr": 0.5, "lr": 0.001},
     "ogbn-products": {"feat_snr": 0.5, "lr": 0.003},
     "ogbn-proteins": {"feat_snr": 0.15, "lr": 0.01},
@@ -99,10 +108,11 @@ def run_golden(gc: GoldenConfig):
     from maxk_tpu.train.config import TrainConfig
     from maxk_tpu.train.loop import train
 
-    snr = ACC_PROTOCOL[gc.dataset]["feat_snr"]
+    proto = ACC_PROTOCOL[gc.dataset]
+    snr = proto["feat_snr"]
     data = load_dataset(
         gc.dataset, scale=gc.scale, seed=DATA_SEED, feat_snr=snr,
-        graph_kind=GRAPH_KIND,
+        graph_kind=GRAPH_KIND, sbm_p_intra=proto.get("p_intra", 0.8),
     )
     cfg = TrainConfig(
         dataset=gc.dataset, model=gc.model, epochs=gc.epochs, lr=gc.lr,

@@ -26,10 +26,17 @@ def test_native_edge_tiles_match_numpy(small_graph):
         tiles = meta.build_edge_tiles(small_graph, 8, 64)
     finally:
         _native.edge_tiles_native = orig
-    np.testing.assert_array_equal(tb, np.asarray(tiles.block))
-    np.testing.assert_array_equal(tc, np.asarray(tiles.cols))
-    np.testing.assert_array_equal(tl, np.asarray(tiles.localrow))
-    np.testing.assert_allclose(tv, np.asarray(tiles.vals), rtol=1e-6)
+    # build_edge_tiles pads both paths to meta.TILE_PAD (raw native
+    # output is unpadded): real prefix must match exactly, padding must
+    # be inert (last real block id, zero values)
+    nt = tb.shape[0]
+    np.testing.assert_array_equal(tb, np.asarray(tiles.block)[:nt])
+    np.testing.assert_array_equal(tc, np.asarray(tiles.cols)[:nt])
+    np.testing.assert_array_equal(tl, np.asarray(tiles.localrow)[:nt])
+    np.testing.assert_allclose(tv, np.asarray(tiles.vals)[:nt], rtol=1e-6)
+    assert tiles.num_tiles % meta.TILE_PAD == 0
+    np.testing.assert_array_equal(np.asarray(tiles.block)[nt:], tb[-1])
+    assert not np.asarray(tiles.vals)[nt:].any()
 
 
 def test_native_transpose_matches_scipy(small_graph):
