@@ -151,12 +151,23 @@ def main(argv=None):
             sc = jnp.maximum(jnp.max(jnp.abs(ref.astype(jnp.float32))), 1e-6)
             return d.max() / sc, d.mean() / sc
 
-        # arm 2: hybrid (production)
-        s_cols = auto_strip_cols(v, e_live=live, dim=args.dim)
+        # arm 2: hybrid (production rule: int8 strip where exact, with
+        # the matching width cap — measuring the bf16 point would
+        # undersell the schedule this framework actually ships)
+        from maxk_tpu.sparse.hybrid import auto_strip_dtype
+
+        strip_dtype = auto_strip_dtype(g)
+        s_cols = auto_strip_cols(
+            v, e_live=live, dim=args.dim,
+            strip_itemsize=jnp.dtype(strip_dtype).itemsize,
+        )
         if "hybrid" in args.arms and s_cols >= 256:
             t0 = time.time()
-            h = build_hybrid_device(g, s_cols=s_cols, norm="none")
-            log(f"hybrid build {time.time()-t0:.0f}s (s={h.s_cols})")
+            h = build_hybrid_device(
+                g, s_cols=s_cols, norm="none", strip_dtype=strip_dtype
+            )
+            log(f"hybrid build {time.time()-t0:.0f}s "
+                f"(s={h.s_cols} {jnp.dtype(strip_dtype).name})")
             fh = jax.jit(lambda hh, xx: spmm_hybrid(hh, xx))
             yh = fh(h, x)
             mx, mn = (float(q) for q in rel_err(yh, y_ref))
