@@ -252,17 +252,28 @@ def main(argv=None):
                 / (r["analytic_v5e_step_ms"] * r["n"]),
                 3,
             )
-    print(json.dumps({
+    doc = {
         "protocol": {
             "dataset": args.dataset, "scale": args.scale, "V": v, "E": e,
             "model": args.model, "hidden_dim": d, "layers": nl, "k": k,
             "platform": devices[0].platform, "iters": args.iters,
             "note": "CPU virtual mesh: relative scaling of the SPMD "
                     "program, not fabric throughput",
+            "roofline": "analytic_v5e_ms charges the HLO-audited "
+                        "collective model (parallel/audit.model_recv_"
+                        "bytes_fwd_bwd, byte-exact vs compiled HLO in "
+                        "tests/test_shard.py) — supersedes the r3 "
+                        "pre-audit roofline",
         },
         "results": results,
         "compressed_collective_ratio": round((k * 8) / (d * 4), 4),
-    }))
+    }
+    print(json.dumps(doc))
+    if args.json_out:
+        # final artifact = full doc (protocol + efficiency fields); a
+        # partial run's json_out stays a resumable bare list
+        with open(args.json_out, "w") as f:
+            json.dump(doc, f, indent=1)
     return results
 
 
