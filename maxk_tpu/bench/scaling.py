@@ -142,9 +142,20 @@ def main(argv=None):
         ("maxk_hybrid", "maxk", "hybrid"),
         ("relu", "relu", args.kernel_mode),
     ]
+    # re-entrant: resume from an existing json_out (the r5 run lost its
+    # relu arm to a timeout kill with no way to continue) — per-config
+    # done-state lives in the artifact
     results = []
+    if args.json_out and os.path.exists(args.json_out):
+        with open(args.json_out) as f:
+            prev = json.load(f)
+        results = prev["results"] if isinstance(prev, dict) else prev
+        log(f"resuming: {len(results)} completed configs in {args.json_out}")
+    done = {(r["arm"], r["n"]) for r in results}
     for arm, nonlinear, kmode in arms:
         for n in args.devices:
+            if (arm, n) in done:
+                continue
             if n > len(devices):
                 log(f"skip n={n}: only {len(devices)} devices")
                 continue
