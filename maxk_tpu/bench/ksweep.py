@@ -196,6 +196,9 @@ def main(argv=None):
                     # resume can tell an in-protocol record from a
                     # superseded one (ADVICE r4 #5)
                     "feat_snr": snr, "lr": lr, "p_intra": p_intra,
+                    # epoch_ms is only comparable within one platform;
+                    # acc columns are platform-independent
+                    "platform": jax.default_backend(),
                 }
                 results.append(rec)
                 done.add((ds, model, arm))
