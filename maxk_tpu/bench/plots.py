@@ -163,6 +163,17 @@ def plot_spgemm_study(data, out_dir):
         arms = sorted(
             a for a in recs[0] if isinstance(recs[0][a], dict)
         )
+        if not arms:
+            # legacy flat format (SPGEMM_STUDY_r1): arm times as
+            # top-level `<arm>_ms` floats with no phase split
+            arms = sorted(
+                a[:-3] for a in recs[0]
+                if a.endswith("_ms") and isinstance(recs[0][a], float)
+            )
+            recs = [
+                {**r, **{a: {"numeric_ms": r[f"{a}_ms"]} for a in arms}}
+                for r in recs
+            ]
         width = 0.8 / len(arms)
         for i, arm in enumerate(arms):
             xs = [j + i * width for j in range(len(recs))]
