@@ -48,6 +48,15 @@ class GoldenConfig:
     epochs: int
     scale: float
     min_val: float  # measured - 0.04 margin; 0.0 = not yet calibrated
+    # task overrides (default: ACC_PROTOCOL). A regression FLOOR needs a
+    # learnable task with a stable measured value at its (small) CPU
+    # scale; a sweep CONTROL needs discrimination at the sweep scale —
+    # where those conflict (reddit: the r5-calibrated discriminative
+    # task p_intra=0.3/snr=0.05 collapses to ~chance at golden's
+    # scale=0.004, measured 0.06-0.09), the golden row pins ITS OWN
+    # task and the sweep keeps ACC_PROTOCOL.
+    feat_snr: float = 0.0  # 0 = ACC_PROTOCOL value
+    p_intra: float = -1.0  # <0 = ACC_PROTOCOL value (default 0.8)
 
 
 # the accuracy-axis protocol, shared with bench/ksweep: per-dataset
@@ -61,12 +70,12 @@ class GoldenConfig:
 # denoises ANY feature snr (r5 probes: relu 0.9994 at snr=0.05, 0.9985
 # at 0.02) — the r4 sweep's saturated reddit control (verdict weak #4)
 # could not be fixed by snr alone; the structure itself must weaken.
-# Reddit's (feat_snr, p_intra) pending the .bench_r5/recal_tpu.py grid
-# (logs/recal_grid.log); until it lands the r4 values stand and the
-# reddit control is KNOWN saturated.
+# Reddit calibrated by the r5 grid (.bench_r5/logs/recal_grid_cpu.log):
+# p_intra=0.3, snr=0.05 puts the relu control at val 0.564 — mid-band,
+# vs 0.9998 at the r4 protocol (p_intra 0.8, snr 0.15).
 ACC_PROTOCOL = {
     "flickr": {"feat_snr": 0.15, "lr": 0.001},
-    "reddit": {"feat_snr": 0.15, "lr": 0.001},
+    "reddit": {"feat_snr": 0.05, "lr": 0.001, "p_intra": 0.3},
     "yelp": {"feat_snr": 0.5, "lr": 0.001},
     "ogbn-products": {"feat_snr": 0.5, "lr": 0.003},
     "ogbn-proteins": {"feat_snr": 0.15, "lr": 0.01},
@@ -85,9 +94,12 @@ GOLDEN = [
     # for ITS OWN stable operating point (maxk at lr 0.001 sits at 0.09
     # after 120 epochs — a noise-region floor detects nothing; measured
     # 0.60 at lr 0.01). Cross-arm comparisons live in KSWEEP, where the
-    # arms share one calibrated lr.
-    GoldenConfig("reddit", "sage", "maxk", 32, 256, 4, 0.01, 0.5, 120, 0.004, 0.56),
-    GoldenConfig("reddit", "sage", "relu", 32, 256, 4, 0.001, 0.5, 120, 0.004, 0.64),
+    # arms share one calibrated lr. Task pinned at the r4 point
+    # (snr 0.15, p_intra 0.8): see GoldenConfig field docs.
+    GoldenConfig("reddit", "sage", "maxk", 32, 256, 4, 0.01, 0.5, 120, 0.004, 0.56,
+                 feat_snr=0.15, p_intra=0.8),
+    GoldenConfig("reddit", "sage", "relu", 32, 256, 4, 0.001, 0.5, 120, 0.004, 0.64,
+                 feat_snr=0.15, p_intra=0.8),
     GoldenConfig("flickr", "sage", "maxk", 32, 256, 3, 0.001, 0.2, 150, 0.05, 0.92),
     GoldenConfig("flickr", "sage", "relu", 32, 256, 3, 0.001, 0.2, 150, 0.05, 0.92),
     GoldenConfig("yelp", "sage", "maxk", 32, 384, 4, 0.001, 0.1, 120, 0.004, 0.22),
@@ -109,10 +121,11 @@ def run_golden(gc: GoldenConfig):
     from maxk_tpu.train.loop import train
 
     proto = ACC_PROTOCOL[gc.dataset]
-    snr = proto["feat_snr"]
+    snr = gc.feat_snr or proto["feat_snr"]
+    p_intra = gc.p_intra if gc.p_intra >= 0 else proto.get("p_intra", 0.8)
     data = load_dataset(
         gc.dataset, scale=gc.scale, seed=DATA_SEED, feat_snr=snr,
-        graph_kind=GRAPH_KIND, sbm_p_intra=proto.get("p_intra", 0.8),
+        graph_kind=GRAPH_KIND, sbm_p_intra=p_intra,
     )
     cfg = TrainConfig(
         dataset=gc.dataset, model=gc.model, epochs=gc.epochs, lr=gc.lr,
