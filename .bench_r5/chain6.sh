@@ -1,0 +1,54 @@
+#!/bin/bash
+# Post-campaign follow-ups (round 5): compile-probe the scan-layout fix
+# at products scale, then measure the lossy int8-feature strip arm at
+# full reddit (VERDICT r4 #7c). Waits for campaign_final to finish so it
+# never contends with the queued suite jobs for the single chip.
+set -u
+cd /root/repo
+L=.bench_r5/logs
+D=.bench_r5/done
+
+while ! grep -q CAMPAIGN_FINAL_DONE $L/campaign.log; do sleep 60; done
+
+wait_tpu() {
+  i=0
+  while true; do
+    i=$((i+1))
+    if timeout 120 python -c "import jax, jax.numpy as jnp; x=jnp.ones((256,256)); print(float((x@x).sum()))" >/dev/null 2>&1; then
+      echo "tpu ok (attempt $i) $(date -u +%T)" >> $L/chain6.log; return 0
+    fi
+    [ $((i % 20)) -eq 0 ] && echo "tpu probe $i failed $(date -u +%T)" >> $L/chain6.log
+    sleep 30
+  done
+}
+commit_artifact() {
+  msg=$1; shift
+  for t in 1 2 3; do
+    if git add -A "$@" $L 2>>$L/chain6.log \
+       && git commit -q -m "$msg" 2>>$L/chain6.log; then return 0; fi
+    sleep 10
+  done
+  echo "COMMIT FAILED: $msg" >> $L/chain6.log
+}
+run() {
+  name=$1; to=$2; artifact=$3; shift 3
+  if [ -f "$D/$name" ]; then return 0; fi
+  wait_tpu
+  echo "=== $name start $(date -u +%T)" >> $L/chain6.log
+  timeout "$to" "$@" >> "$L/$name.log" 2>&1
+  rc=$?
+  echo "=== $name rc=$rc end $(date -u +%T)" >> $L/chain6.log
+  if [ "$rc" -eq 0 ] && [ -s "$artifact" ]; then
+    touch "$D/$name"
+    commit_artifact "campaign5 $name: artifact $artifact" "$artifact" "$D"
+  fi
+}
+
+run probe_mem_layoutfix 1800 $L/probe_mem_layoutfix.log \
+  python -m maxk_tpu.bench.probe_mem --shapes .bench_r5/products_shapes_padded.json
+
+run probe_feat_int8 2700 $L/probe_feat_int8.log \
+  python -m maxk_tpu.bench.probe_hybrid --scale 1.0 --s 24576 \
+  --dtype int8 --feat_int8
+
+echo CHAIN6_DONE $(date -u +%T) >> $L/chain6.log

@@ -34,6 +34,9 @@ def main():
                    help="gather the tail in bf16")
     p.add_argument("--tail_band_cols", type=int, default=0,
                    help="column-band the tail into slices of this width")
+    p.add_argument("--feat_int8", action="store_true",
+                   help="also time + validate the LOSSY int8-feature "
+                        "strip matmuls (requires --dtype int8)")
     args = p.parse_args()
 
     import jax
@@ -132,6 +135,27 @@ def main():
             log("VALIDATION FAILED")
             sys.exit(1)
 
+        if args.feat_int8:
+            # LOSSY arm: per-column int8 feature quantization on the
+            # strip matmuls — the only error source is the ~|x|max/127
+            # rounding step (the int8 strip itself is exact)
+            yq = jax.jit(
+                lambda h_, x_: spmm_hybrid(h_, x_, feat_int8=True)
+            )(h, x)
+            mxq, mnq, scq = (
+                float(q) for q in jax.device_get(errs(yq, tiles, x))
+            )
+            log(
+                f"validate feat_int8 vs tiles_scan: max_abs={mxq:.3e} "
+                f"mean_abs={mnq:.3e} (max_rel {mxq/scq:.2e}, "
+                f"mean_rel {mnq/scq:.2e})"
+            )
+            if mnq / scq > 1e-2 or mxq / scq > 8e-2:
+                log("FEAT_INT8 VALIDATION FAILED (beyond quant bound)")
+                sys.exit(1)
+            if hasattr(yq, "delete"):
+                yq.delete()
+
         if args.tiles:
             # schedules ride as jit ARGS (closures ship as HLO constants
             # through the remote-compile tunnel -> HTTP 413)
@@ -149,6 +173,11 @@ def main():
     f = jax.jit(lambda hh, xx: spmm_hybrid(hh, xx))
     t = timeit(f, h, x)
     log(f"hybrid fwd: {t*1e3:.2f} ms  {live/t/1e9:.3f} Gnnz/s")
+    if args.feat_int8:
+        fq = jax.jit(lambda hh, xx: spmm_hybrid(hh, xx, feat_int8=True))
+        tq = timeit(fq, h, x)
+        log(f"hybrid fwd (feat_int8 LOSSY): {tq*1e3:.2f} ms  "
+            f"{live/tq/1e9:.3f} Gnnz/s  ({t/tq:.2f}x vs exact)")
     ftr = jax.jit(lambda hh, xx: spmm_hybrid(hh, xx, transpose=True))
     ttr = timeit(ftr, h, x)
     log(f"hybrid fwd (transpose): {ttr*1e3:.2f} ms")

@@ -33,17 +33,41 @@ def _strip_operand(strip: jax.Array):
     return strip, strip.dtype
 
 
+def _quant_cols(x: jax.Array, bound: int = 127):
+    """Per-column symmetric int8 quantization: x ≈ x_q · scale.
+
+    Returns (x_q int8, scale (1, D) f32). The column (= feature-dim)
+    axis is the non-contracted axis of both strip matmuls, so the
+    de-scale is a single (1, D) broadcast multiply on the outputs.
+    Zero columns get scale tiny (x_q = 0 exactly)."""
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=0, keepdims=True)
+    scale = jnp.maximum(absmax, jnp.finfo(jnp.float32).tiny) / bound
+    xq = jnp.clip(jnp.round(xf / scale), -bound, bound).astype(jnp.int8)
+    return xq, scale
+
+
 def spmm_hybrid(
     h: HybridSchedule,
     x: jax.Array,
     transpose: bool = False,
     pre_applied: bool = False,
+    feat_int8: bool = False,
 ) -> jax.Array:
     """y = A @ x (or A^T @ x) via the symmetric-strip decomposition.
 
     `pre_applied`: the caller already folded the pre-scale into x — the
     CBSR path scales the (V, k) values before densify (identical math,
-    and one fewer (V, D) transient: 1.25 GB at ogbn-products scale)."""
+    and one fewer (V, D) transient: 1.25 GB at ogbn-products scale).
+
+    `feat_int8` (LOSSY, off by default): per-column int8-quantize the
+    features for the two strip matmuls so they run int8×int8 on the MXU
+    (measured 1.61× the bf16 contraction rate, `bench/probe_int8.py`).
+    Requires an integer strip (`strip_dtype=int8`, exact 0/1 values) so
+    the int32 accumulation is exact given the quantized operand — the
+    ONLY error is the feature quantization (measured ~0.5% mean rel at
+    reddit shapes, docs/PERF.md). The tail gather arm still consumes the
+    unquantized features, so tail rows are unaffected."""
     v = h.num_nodes
     s = h.s_cols
     pre, post = (h.post, h.pre) if transpose else (h.pre, h.post)
@@ -58,18 +82,33 @@ def spmm_hybrid(
     vp = h.padded_nodes
     if vp != v:
         xc = jnp.pad(xc, ((0, vp - v), (0, 0)))
-    xh = xc[:s]
 
-    # rows<S: symmetry covers ALL their columns via W^T @ xs, and the
-    # corner term W[:S] @ xh cancels exactly against the hub-columns arm
-    # there — so compute the two disjoint row ranges directly instead of
-    # the add-then-subtract form (saves the (S, S, D) corner matmul and
-    # S wasted rows of W @ xh)
-    yh = jnp.einsum(
-        "vs,vd->sd", w, xc, preferred_element_type=jnp.float32
-    )
-    # rows≥S: hub-columns arm only
-    yt = jnp.dot(w[s:], xh, preferred_element_type=jnp.float32)
+    if feat_int8:
+        if not jnp.issubdtype(h.strip.dtype, jnp.integer):
+            raise ValueError(
+                "feat_int8 requires an integer strip (strip_dtype=int8): "
+                "a float strip would make the int32 accumulation lossy "
+                "on BOTH operands"
+            )
+        xq, qscale = _quant_cols(xc)
+        yh = jnp.einsum(
+            "vs,vd->sd", h.strip, xq, preferred_element_type=jnp.int32
+        ).astype(jnp.float32) * qscale
+        yt = jnp.dot(
+            h.strip[s:], xq[:s], preferred_element_type=jnp.int32
+        ).astype(jnp.float32) * qscale
+    else:
+        xh = xc[:s]
+        # rows<S: symmetry covers ALL their columns via W^T @ xs, and the
+        # corner term W[:S] @ xh cancels exactly against the hub-columns
+        # arm there — so compute the two disjoint row ranges directly
+        # instead of the add-then-subtract form (saves the (S, S, D)
+        # corner matmul and S wasted rows of W @ xh)
+        yh = jnp.einsum(
+            "vs,vd->sd", w, xc, preferred_element_type=jnp.float32
+        )
+        # rows≥S: hub-columns arm only
+        yt = jnp.dot(w[s:], xh, preferred_element_type=jnp.float32)
     y = jnp.concatenate([yh, yt])
 
     # tail arm: rows≥S × cols≥S leftover edges on the gather path, in the

@@ -157,11 +157,23 @@ def spmm_tiles_scan(
     vals = jnp.pad(tiles.vals, ((0, pad), (0, 0)))
     lrow = jnp.pad(tiles.localrow, ((0, pad), (0, 0)))
     blocks = blocks.reshape(nc, chunk)
-    cols = cols.reshape(nc, chunk, t)
-    vals = vals.reshape(nc, chunk, t)
-    lrow = lrow.reshape(nc, chunk, t)
+    # scan operands reshape to (nc, chunk·T) — NOT (nc, chunk, T). With
+    # T < 128 as the minor dim, XLA lane-pads the whole scanned table to
+    # 128 and COPIES it as an HLO temp EVERY call (measured at products
+    # scale by the AOT memory probe: 2×1.52 GB s32 + 0.78 GB bf16 = 3.8 GB
+    # of temp + copy bandwidth, the difference between fitting and OOM —
+    # .bench_r5/logs/probe_mem.log copy.10/.11/.12). chunk·T is a lane
+    # multiple, so this shape is a bitcast of the compact at-rest table;
+    # the step unpacks its (chunk·T,) slice in VMEM where the relayout is
+    # a few KB, not GB.
+    cols = cols.reshape(nc, chunk * t)
+    vals = vals.reshape(nc, chunk * t)
+    lrow = lrow.reshape(nc, chunk * t)
 
     def partial_of(c, v, lr):
+        c = c.reshape(chunk, t)
+        v = v.reshape(chunk, t)
+        lr = lr.reshape(chunk, t)
         # chunk-window matmuls may run in x.dtype (MXU), but the partial
         # handed to the cross-chunk accumulator is always f32 — bf16
         # accumulation over high-degree rows (reddit ~490) loses bits

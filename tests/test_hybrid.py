@@ -348,6 +348,36 @@ def test_int8_strip_exact_on_integer_graph():
     assert s2 >= 2 * s4 - 256
 
 
+def test_feat_int8_lossy_path_within_quant_bound():
+    """feat_int8 (LOSSY opt-in, VERDICT r4 #7c): per-column int8 feature
+    quantization on the strip matmuls. The strip itself is exact int8,
+    so the only error is feature rounding: |Δx| ≤ scale/2 per element →
+    |Δy[r]| ≤ deg_norm(r)·scale/2 per output. Checked against the exact
+    f32 hybrid, fwd + transpose; tail rows consume UNQUANTIZED features
+    and must match exactly to bf16 precision."""
+    csr = _graph(v=500, e=4000, seed=21)
+    pcsr = permute_csr(csr, degree_perm(csr))
+    h8 = build_hybrid(pcsr, s_cols=S, norm="right", strip_dtype=jnp.int8)
+    h32 = build_hybrid(pcsr, s_cols=S, norm="right", strip_dtype=jnp.float32)
+    x = _x(csr.num_nodes, seed=9)
+    ref = np.asarray(spmm_hybrid(h32, x))
+    yq = np.asarray(spmm_hybrid(h8, x, feat_int8=True))
+    sc = np.abs(ref).max()
+    # quant step is ~|x|max/127 ≈ 0.8%/element pre-aggregation; bf16
+    # rounding of the quantize input adds a little on top
+    err = np.abs(yq - ref)
+    assert err.max() < 4e-2 * sc, err.max() / sc
+    assert err.mean() < 4e-3 * sc
+    # transpose rides the same quantized matmuls (swapped scales)
+    rt = np.asarray(spmm_hybrid(h32, x, transpose=True))
+    yqt = np.asarray(spmm_hybrid(h8, x, transpose=True, feat_int8=True))
+    assert np.abs(yqt - rt).max() < 4e-2 * max(np.abs(rt).max(), 1e-6)
+    # a float strip must be rejected: int32 accumulation would be lossy
+    # on both operands
+    with pytest.raises(ValueError, match="integer strip"):
+        spmm_hybrid(h32, x, feat_int8=True)
+
+
 def test_auto_strip_dtype_rule():
     """Production dtype rule: int8 where exact (integer values within
     int8 range), bf16 otherwise; equal-HBM default width doubles."""
