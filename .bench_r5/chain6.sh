@@ -51,4 +51,9 @@ run probe_feat_int8 2700 $L/probe_feat_int8.log \
   python -m maxk_tpu.bench.probe_hybrid --scale 1.0 --s 24576 \
   --dtype int8 --feat_int8
 
+# headline re-measure with the scan-layout fix (the ~1.3 ms/call copy
+# is gone from every spmm_tiles_scan call, fwd and bwd)
+run bench_layoutfix 2700 $L/bench_layoutfix.log \
+  python bench.py
+
 echo CHAIN6_DONE $(date -u +%T) >> $L/chain6.log
