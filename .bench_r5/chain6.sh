@@ -47,6 +47,22 @@ run() {
 run probe_mem_layoutfix 1800 $L/probe_mem_layoutfix.log \
   python -m maxk_tpu.bench.probe_mem --shapes .bench_r5/products_shapes_padded.json
 
+# products retry: the 08:57 run got k=8 fully measured for the first
+# time (layout fix), then OOM'd at k=16 CBSR fwd_bwd by 98.55 MB — the
+# f32 cotangent; the CBSR arm now auto-bf16s at this scale
+run suite_ogbn-products2 5400 .bench_r5/suite/ogbn-products.json \
+  python -m maxk_tpu.bench.kernel_bench --graphs ogbn-products \
+  --k 8 16 32 64 --scale 1.0 --mode auto --validate \
+  --json_out .bench_r5/suite/ogbn-products.json
+
+if [ -f $D/suite_ogbn-products2 ]; then
+  python -m maxk_tpu.bench.assemble_suite --dir .bench_r5/suite \
+    --out BENCH_SUITE_r5.json \
+    --note "round 5, v5e, production auto dispatch (int8 strip where exact, T=32 tail, TILE_PAD + lane-aligned scan tables), masked + CBSR arms, value_and_grad timing, consistency audit embedded; reddit+products records post-layout-fix" \
+    >> $L/assemble.log 2>&1 && [ -s BENCH_SUITE_r5.json ] \
+    && commit_artifact "BENCH_SUITE_r5 re-assembled with products (20/20)" BENCH_SUITE_r5.json $D
+fi
+
 run probe_feat_int8 2700 $L/probe_feat_int8.log \
   python -m maxk_tpu.bench.probe_hybrid --scale 1.0 --s 24576 \
   --dtype int8 --feat_int8

@@ -402,8 +402,17 @@ def main(argv=None):
             # backward producing the compact (V, k) gradient) ---
             # io_itemsize=2 runs the whole arm with bf16-valued CBSR
             # (output dtype follows the values dtype) — the widened
-            # strip budget assumes no (V, dim) f32 IO buffer exists
-            val_dtype = jnp.bfloat16 if args.io_itemsize == 2 else jnp.float32
+            # strip budget assumes no (V, dim) f32 IO buffer exists.
+            # Same auto-bf16 pressure rule as the masked arm: at products
+            # scale the (V, dim) f32 cotangent alone is 2.5 GB and the
+            # k=16 fwd_bwd compiled 98.55 MB over HBM with it (suite r5
+            # log); production (compute_dtype=bfloat16) runs bf16 values
+            # regardless, so only the IO width of the timed kernel changes
+            val_dtype = (
+                jnp.bfloat16
+                if args.io_itemsize == 2 or v * args.dim * 4 > (2 << 30)
+                else jnp.float32
+            )
             vals = jax.jit(
                 lambda: jax.random.normal(
                     jax.random.fold_in(key, k), (v, k)

@@ -18,6 +18,12 @@ import jax
 class KernelMode(str, enum.Enum):
     AUTO = "auto"
     HYBRID = "hybrid"  # degree-sorted symmetric-strip MXU decomposition
+    # hybrid with per-column int8-quantized features on the strip
+    # matmuls (int8×int8 MXU, measured 1.61× the bf16 rate). LOSSY
+    # (~0.5% feature quant error) — explicit opt-in only, AUTO never
+    # selects it; requires an int8 strip; single-chip (the sharded
+    # path ignores it and stays exact)
+    HYBRID_INT8 = "hybrid_int8"
     PALLAS = "pallas"  # Pallas block-dense brick kernel (TPU)
     TILES_XLA = "tiles_xla"  # XLA over the tile schedule (one-shot)
     TILES_SCAN = "tiles_scan"  # XLA tile schedule, memory-bounded scan

@@ -90,15 +90,18 @@ def _spmm_impl(graph: Graph, x: jax.Array, mode: KernelMode, transpose: bool):
     csr = graph.csc if transpose else graph.csr
     tiles = graph.tiles_t if transpose else graph.tiles
     mode = resolve_mode(mode, tiles is not None, graph.hybrid is not None)
-    if mode == KernelMode.HYBRID:
+    if mode in (KernelMode.HYBRID, KernelMode.HYBRID_INT8):
         if graph.hybrid is None:
             raise ValueError(
-                "kernel_mode='hybrid' needs a graph built with "
+                f"kernel_mode='{mode.value}' needs a graph built with "
                 "build_graph(hybrid=True) (undirected graphs only)"
             )
         from maxk_tpu.ops.spmm_hybrid import spmm_hybrid
 
-        return spmm_hybrid(graph.hybrid, x, transpose=transpose)
+        return spmm_hybrid(
+            graph.hybrid, x, transpose=transpose,
+            feat_int8=(mode == KernelMode.HYBRID_INT8),
+        )
     if mode == KernelMode.PALLAS:
         raise NotImplementedError(
             "kernel_mode='pallas' has no production kernel: the Pallas "
@@ -192,14 +195,20 @@ def _maxk_spgemm(dim, mode, compute_dtype, graph, vals, sel):
     resolved = resolve_mode(
         KernelMode(mode), graph.tiles is not None, graph.hybrid is not None
     )
-    if resolved == KernelMode.HYBRID and graph.hybrid is not None:
+    if (
+        resolved in (KernelMode.HYBRID, KernelMode.HYBRID_INT8)
+        and graph.hybrid is not None
+    ):
         from maxk_tpu.ops.spmm_hybrid import spmm_hybrid
 
         # fold the pre-scale into the (V, k) values (see sharded branch)
         h = graph.hybrid
         vals = vals * h.pre[:, None].astype(vals.dtype)
         x = cbsr_densify(CBSR(values=vals, selector=sel), dim)
-        return spmm_hybrid(h, x, pre_applied=True).astype(out_dtype)
+        return spmm_hybrid(
+            h, x, pre_applied=True,
+            feat_int8=(resolved == KernelMode.HYBRID_INT8),
+        ).astype(out_dtype)
     x = cbsr_densify(CBSR(values=vals, selector=sel), dim)
     y = _spmm_impl(graph, x, KernelMode(mode), transpose=False)
     return y.astype(out_dtype)

@@ -40,7 +40,7 @@ class TrainConfig:
     checkpoint_every: int = 0  # 0 = only final/best
     # kernel flags (reference: --use_maxk_kernels/--kernel_mode/…,
     # utils/config.py:60-81)
-    kernel_mode: str = "auto"  # auto | hybrid | pallas | tiles_xla | tiles_scan | segsum
+    kernel_mode: str = "auto"  # auto|hybrid|hybrid_int8|pallas|tiles_xla|tiles_scan|segsum
     compute_dtype: str = ""  # "" | bfloat16
     validate_kernels: bool = False
     profile_kernels: bool = False
@@ -70,7 +70,8 @@ class TrainConfig:
                 f"--maxk must be in [1, hidden_dim={self.hidden_dim}], "
                 f"got {self.maxk}"
             )
-        modes = ("auto", "hybrid", "pallas", "tiles_xla", "tiles_scan", "segsum")
+        modes = ("auto", "hybrid", "hybrid_int8", "pallas", "tiles_xla",
+                 "tiles_scan", "segsum")
         if self.kernel_mode not in modes:
             raise ValueError(
                 f"--kernel_mode must be one of {'|'.join(modes)}, "

@@ -80,7 +80,7 @@ def setup(cfg: TrainConfig, data: GraphData) -> TrainState:
         kernel_mode=cfg.kernel_mode,
         compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None,
     )
-    want_hybrid = cfg.kernel_mode == "hybrid"
+    want_hybrid = cfg.kernel_mode in ("hybrid", "hybrid_int8")
     if cfg.kernel_mode == "auto" and jax.default_backend() == "tpu":
         from maxk_tpu.sparse.hybrid import hybrid_profitable, strip_int8_exact
 

@@ -47,6 +47,16 @@ def test_other_models_train(tiny_data, model):
     assert state.best_val > 0.4, (model, state.best_val)
 
 
+def test_hybrid_int8_mode_trains(tiny_data):
+    """kernel_mode='hybrid_int8' (LOSSY opt-in: int8×int8 strip matmuls,
+    per-column feature quantization) trains end-to-end through the
+    custom VJP — the quant error (~0.5%/aggregation) must not break
+    learning on the planted-partition task."""
+    state = train(_cfg(kernel_mode="hybrid_int8", epochs=30), tiny_data)
+    assert np.isfinite(state.best_val)
+    assert state.best_val > 0.5, state.best_val
+
+
 def test_lookahead_optimizer_trains(tiny_data):
     state = train(_cfg(enable_lookahead=True, epochs=20), tiny_data)
     assert state.best_val > 0.4
