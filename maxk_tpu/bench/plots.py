@@ -102,17 +102,24 @@ def plot_ksweep(data, out_dir):
                for k in ks]
         ms = [next(r["epoch_ms"] for r in sub if r["arm"] == f"maxk_k{k}")
               for k in ks]
+        relu_lib = next((r for r in sub if r["arm"] == "relu_lib"), None)
         (ln,) = axes[0].plot(ks, acc, "o-", label=f"{ds}/{model}")
-        axes[1].plot(ks, ms, "o-", color=ln.get_color())
+        axes[1].plot(ks, ms, "o-", color=ln.get_color(),
+                     label=f"{ds}/{model}")
         if relu:
             axes[0].axhline(relu["best_test"], color=ln.get_color(),
                             ls="--", lw=0.8)
             axes[1].axhline(relu["epoch_ms"], color=ln.get_color(),
                             ls="--", lw=0.8)
+        if relu_lib:
+            # the library-schedule relu arm — the reference's DGL
+            # baseline role, what its published speedups compare against
+            axes[1].axhline(relu_lib["epoch_ms"], color=ln.get_color(),
+                            ls=":", lw=1.2)
     for ax, yl in zip(axes, ["best test accuracy", "epoch ms"]):
         ax.set_xscale("log", base=2)
         ax.set_xlabel("k")
-        ax.set_ylabel(yl + " (dashed = relu arm)")
+        ax.set_ylabel(yl + " (dashed = relu, dotted = relu_lib)")
         ax.legend(fontsize=8)
     fig.tight_layout()
     path = os.path.join(out_dir, "ksweep.png")
