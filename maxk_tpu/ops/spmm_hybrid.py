@@ -76,8 +76,14 @@ def spmm_hybrid(
     # int8 strip (exact on integer-valued graphs): features stay bf16 and
     # the strip converts at matmul-read time — XLA fuses the int8→bf16
     # convert into the contraction, so the strip's HBM traffic is HALF
-    # the bf16 form's, buying a 2× wider strip at the same budget
-    w, cdt = _strip_operand(h.strip)
+    # the bf16 form's, buying a 2× wider strip at the same budget.
+    # (_strip_operand is called only on the branch that uses its result:
+    # an EAGER call on an int8 strip materializes the full bf16 copy —
+    # 11.5 GB at s=24576, see probe_hybrid.py)
+    cdt = (
+        jnp.bfloat16
+        if jnp.issubdtype(h.strip.dtype, jnp.integer) else h.strip.dtype
+    )
     xc = xs.astype(cdt)
     vp = h.padded_nodes
     if vp != v:
@@ -98,6 +104,7 @@ def spmm_hybrid(
             h.strip[s:], xq[:s], preferred_element_type=jnp.int32
         ).astype(jnp.float32) * qscale
     else:
+        w, _ = _strip_operand(h.strip)
         xh = xc[:s]
         # rows<S: symmetry covers ALL their columns via W^T @ xs, and the
         # corner term W[:S] @ xh cancels exactly against the hub-columns
